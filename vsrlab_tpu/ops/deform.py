@@ -1,0 +1,111 @@
+"""Modulated deformable convolution (DCNv2) as gather + one MXU matmul.
+
+Replaces ``torchvision.ops.deform_conv2d`` (reference call sites:
+src/core/modules/conv.py:57, src/vsr/models/VRT/modules/deform_conv.py:144).
+
+TPU-first design: instead of the CUDA per-pixel im2col kernel, we issue one
+bilinear ``grid_sample`` per kernel tap (kh*kw of them, each a dense gather
+XLA pipelines well), stack the taps on the channel axis, and finish with a
+single ``(kh*kw*Cin) x Cout`` matmul that lands on the MXU. The sampling taps
+reuse :func:`vsrlab_tpu.ops.warp.grid_sample`, so the whole op is
+differentiable and shares the warp oracle's numerics.
+
+Offset layout follows torchvision: ``offset[..., 2*(g*kh*kw + k)]`` is the
+**y** displacement and ``... + 1`` the **x** displacement for offset group
+``g`` and kernel tap ``k`` (row-major over ``(kh, kw)``). ``mask`` is the
+DCNv2 modulation scalar per tap and offset group.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vsrlab_tpu.ops.warp import grid_sample
+
+
+def deform_conv2d(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Deformable conv on channels-last tensors.
+
+    Args:
+      x: ``(N, H, W, Cin)``.
+      offset: ``(N, Ho, Wo, 2 * G * kh * kw)`` with torchvision (dy, dx) order.
+      weight: ``(kh, kw, Cin, Cout)`` (HWIO, flax convention).
+      bias: optional ``(Cout,)``.
+      mask: optional ``(N, Ho, Wo, G * kh * kw)`` modulation (DCNv2).
+
+    Returns:
+      ``(N, Ho, Wo, Cout)``.
+    """
+    n, h, w, cin = x.shape
+    kh, kw, wc_in, cout = weight.shape
+    assert wc_in == cin, "grouped weight (conv groups > 1) not supported"
+    taps = kh * kw
+    two_g_taps = offset.shape[-1]
+    assert two_g_taps % (2 * taps) == 0, "offset channels not a multiple of 2*kh*kw"
+    groups = two_g_taps // (2 * taps)
+    assert cin % groups == 0, "Cin must be divisible by offset groups"
+    cg = cin // groups
+
+    ho, wo = offset.shape[1], offset.shape[2]
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+
+    # (N, Ho, Wo, G, taps, 2) with [..., 0]=dy, [..., 1]=dx
+    off = offset.reshape(n, ho, wo, groups, taps, 2).astype(compute_dtype)
+    if mask is not None:
+        m = mask.reshape(n, ho, wo, groups, taps).astype(compute_dtype)
+
+    # Base sampling positions per output pixel and tap (before offsets).
+    ys = jnp.arange(ho, dtype=compute_dtype)[:, None] * stride - padding
+    xs = jnp.arange(wo, dtype=compute_dtype)[None, :] * stride - padding
+
+    # Split channels into offset groups once.
+    xg = x.reshape(n, h, w, groups, cg)
+
+    sampled_taps = []
+    for k in range(taps):
+        ky, kx = divmod(k, kw)
+        base_y = ys + ky * dilation  # (Ho, 1)
+        base_x = xs + kx * dilation  # (1, Wo)
+        per_group = []
+        for g in range(groups):
+            py = base_y[None] + off[:, :, :, g, k, 0]  # (N, Ho, Wo)
+            px = base_x[None] + off[:, :, :, g, k, 1]
+            # torchvision samples with zeros padding, align_corners=True math
+            # on raw pixel coords; convert to normalized grid for grid_sample.
+            gx = 2.0 * px / max(w - 1, 1) - 1.0
+            gy = 2.0 * py / max(h - 1, 1) - 1.0
+            grid = jnp.stack([gx, gy], axis=-1)
+            s = grid_sample(
+                xg[:, :, :, g, :].astype(compute_dtype),
+                grid,
+                mode="bilinear",
+                padding_mode="zeros",
+                align_corners=True,
+            )  # (N, Ho, Wo, Cg)
+            if mask is not None:
+                s = s * m[:, :, :, g, k][..., None]
+            per_group.append(s)
+        sampled_taps.append(jnp.concatenate(per_group, axis=-1))  # (N,Ho,Wo,Cin)
+
+    # (N, Ho, Wo, taps*Cin) @ (taps*Cin, Cout): one MXU matmul.
+    cols = jnp.concatenate(sampled_taps, axis=-1)
+    w_mat = weight.astype(compute_dtype).reshape(taps * cin, cout)
+    out = jnp.matmul(cols, w_mat, preferred_element_type=compute_dtype)
+    if bias is not None:
+        out = out + bias.astype(compute_dtype)
+    return out.astype(x.dtype)
+
+
+def modulated_deform_conv2d(x, offset, mask, weight, bias=None, stride=1, padding=0, dilation=1):
+    """DCNv2: :func:`deform_conv2d` with a modulation mask (reference
+    src/vsr/models/VRT/modules/deform_conv.py:144)."""
+    return deform_conv2d(x, offset, weight, bias, stride, padding, dilation, mask)

@@ -1,0 +1,193 @@
+"""Grid sampling and optical-flow warping (torch-exact, channels-last).
+
+This is the single hottest primitive in the framework (SURVEY.md §2.9): every
+flow-based alignment in BasicVSR / SpyNet / VRT / RAFT / IRR-PWC sits on it.
+It replaces ``torch.nn.functional.grid_sample`` (reference call sites:
+src/vsr/models/RealBasicVSR/modules/spynet.py:95-106,
+src/vsr/models/VRT/modules/spynet.py:11-63, src/optical_flow/models/raft/utils.py:4-12).
+
+Implementation: pure XLA gathers over the flattened spatial plane with
+per-corner validity masks — differentiable (scatter-add VJP for free),
+shape-static and fusible. A fused Pallas kernel can be swapped in behind the
+same signature; this version doubles as its numeric oracle.
+
+Conventions (channels-last):
+  * images ``(N, H, W, C)``
+  * sampling grids ``(N, Ho, Wo, 2)`` with normalized ``(x, y)`` in [-1, 1]
+  * flows ``(N, H, W, 2)`` with pixel displacements ``(dx, dy)``
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size: int, align_corners: bool):
+    """[-1, 1] -> pixel coordinates, torch convention."""
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _reflect(coord, low: float, high: float):
+    """Reflect coordinates into [low, high] (torch grid_sampler reflection)."""
+    span = high - low
+    safe = jnp.where(span > 0, span, 1.0)
+    coord = jnp.abs(coord - low) % (2.0 * safe)
+    coord = jnp.where(coord > safe, 2.0 * safe - coord, coord) + low
+    return jnp.where(span > 0, coord, low)
+
+
+def _pad_coords(ix, iy, h: int, w: int, padding_mode: str, align_corners: bool):
+    """Apply the padding mode to continuous sample coordinates."""
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, w - 1)
+        iy = jnp.clip(iy, 0.0, h - 1)
+    elif padding_mode == "reflection":
+        if align_corners:
+            ix = _reflect(ix, 0.0, float(w - 1))
+            iy = _reflect(iy, 0.0, float(h - 1))
+        else:
+            ix = _reflect(ix, -0.5, w - 0.5)
+            iy = _reflect(iy, -0.5, h - 0.5)
+        # torch clips reflected coords to the border as a final step
+        ix = jnp.clip(ix, 0.0, w - 1)
+        iy = jnp.clip(iy, 0.0, h - 1)
+    elif padding_mode != "zeros":
+        raise ValueError(f"unknown padding_mode: {padding_mode}")
+    return ix, iy
+
+
+def _gather_2d(x_flat, idx_y, idx_x, h: int, w: int):
+    """Gather pixels at integer (y, x) from (N, H*W, C) -> (N, Ho, Wo, C)."""
+    n = x_flat.shape[0]
+    c = x_flat.shape[-1]
+    lin = (idx_y * w + idx_x).reshape(n, -1)  # (N, Ho*Wo)
+    out = jnp.take_along_axis(x_flat, lin[..., None], axis=1)
+    return out.reshape(idx_y.shape + (c,))
+
+
+def grid_sample(
+    x: jnp.ndarray,
+    grid: jnp.ndarray,
+    mode: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Torch-exact ``grid_sample`` on channels-last images.
+
+    Args:
+      x: ``(N, H, W, C)`` input.
+      grid: ``(N, Ho, Wo, 2)`` normalized ``(x, y)`` coordinates in [-1, 1].
+      mode: ``bilinear`` | ``nearest``.
+      padding_mode: ``zeros`` | ``border`` | ``reflection``.
+      align_corners: torch corner convention.
+
+    Returns:
+      ``(N, Ho, Wo, C)`` sampled output.
+    """
+    n, h, w, c = x.shape
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    gx = grid[..., 0].astype(compute_dtype)
+    gy = grid[..., 1].astype(compute_dtype)
+    ix = _unnormalize(gx, w, align_corners)
+    iy = _unnormalize(gy, h, align_corners)
+    ix, iy = _pad_coords(ix, iy, h, w, padding_mode, align_corners)
+
+    x_flat = x.reshape(n, h * w, c).astype(compute_dtype)
+
+    def corner(idx_y, idx_x, weight):
+        """Gather one corner with zeros-mode validity masking."""
+        if padding_mode == "zeros":
+            valid = (
+                (idx_x >= 0) & (idx_x <= w - 1) & (idx_y >= 0) & (idx_y <= h - 1)
+            )
+            weight = jnp.where(valid, weight, 0.0)
+        iy_c = jnp.clip(idx_y, 0, h - 1).astype(jnp.int32)
+        ix_c = jnp.clip(idx_x, 0, w - 1).astype(jnp.int32)
+        vals = _gather_2d(x_flat, iy_c, ix_c, h, w)
+        return vals * weight[..., None]
+
+    if mode == "bilinear":
+        x0 = jnp.floor(ix)
+        y0 = jnp.floor(iy)
+        x1 = x0 + 1.0
+        y1 = y0 + 1.0
+        wx1 = ix - x0
+        wy1 = iy - y0
+        wx0 = 1.0 - wx1
+        wy0 = 1.0 - wy1
+        out = (
+            corner(y0, x0, wy0 * wx0)
+            + corner(y0, x1, wy0 * wx1)
+            + corner(y1, x0, wy1 * wx0)
+            + corner(y1, x1, wy1 * wx1)
+        )
+    elif mode == "nearest":
+        # torch rounds with nearbyint (round-half-to-even), like jnp.round
+        xr = jnp.round(ix)
+        yr = jnp.round(iy)
+        out = corner(yr, xr, jnp.ones_like(ix))
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    return out.astype(x.dtype)
+
+
+def _base_grid(h: int, w: int, dtype) -> jnp.ndarray:
+    """(H, W, 2) integer pixel grid with (x, y) order."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return jnp.stack([xs, ys], axis=-1).astype(dtype)
+
+
+def flow_warp(
+    x: jnp.ndarray,
+    flow: jnp.ndarray,
+    interpolation: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Warp an image/feature map by an optical flow field.
+
+    Torch-reference semantics (src/vsr/models/RealBasicVSR/modules/spynet.py:95-106
+    and src/vsr/models/VRT/modules/spynet.py:11-63): the sample location for
+    output pixel ``p`` is ``p + flow[p]``; coordinates are normalized with
+    ``align_corners=True`` by default.
+
+    Args:
+      x: ``(N, H, W, C)``.
+      flow: ``(N, H, W, 2)`` pixel displacements ``(dx, dy)``.
+      interpolation: ``bilinear`` | ``nearest`` | ``nearest4``. ``nearest4``
+        returns the 4 nearest-neighbour taps stacked on channels
+        ``(N, H, W, 4*C)`` in order (floor,floor), (floor,ceil), (ceil,floor),
+        (ceil,ceil) of (x, y) — matching reference VRT/modules/spynet.py:39-54.
+
+    Returns:
+      ``(N, H, W, C)`` (or ``(N, H, W, 4*C)`` for ``nearest4``).
+    """
+    n, h, w, c = x.shape
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    grid = _base_grid(h, w, compute_dtype)[None]  # (1, H, W, 2)
+    vgrid = grid + flow.astype(compute_dtype)
+
+    def normalize(coords_x, coords_y):
+        nx = 2.0 * coords_x / max(w - 1, 1) - 1.0
+        ny = 2.0 * coords_y / max(h - 1, 1) - 1.0
+        return jnp.stack([nx, ny], axis=-1)
+
+    if interpolation == "nearest4":
+        vx, vy = vgrid[..., 0], vgrid[..., 1]
+        grids = [
+            normalize(jnp.floor(vx), jnp.floor(vy)),
+            normalize(jnp.floor(vx), jnp.ceil(vy)),
+            normalize(jnp.ceil(vx), jnp.floor(vy)),
+            normalize(jnp.ceil(vx), jnp.ceil(vy)),
+        ]
+        outs = [
+            grid_sample(x, g, "nearest", padding_mode, align_corners) for g in grids
+        ]
+        return jnp.concatenate(outs, axis=-1)
+
+    g = normalize(vgrid[..., 0], vgrid[..., 1])
+    return grid_sample(x, g, interpolation, padding_mode, align_corners)
