@@ -1,0 +1,113 @@
+"""BasicVSR / RealBasicVSR / UNetDiscriminator model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsrlab_tpu.models import BasicVSR, RealBasicVSR, UNetDiscriminator
+
+
+def tiny_basicvsr(**kw):
+    return BasicVSR(mid_channels=8, res_blocks=1, upscale=4, **kw)
+
+
+class TestBasicVSR:
+    def test_output_shape(self, rng):
+        model = tiny_basicvsr()
+        lrs = jnp.asarray(rng.random((2, 5, 16, 16, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), lrs)
+        sr = model.apply(variables, lrs)
+        assert sr.shape == (2, 5, 64, 64, 3)
+        assert np.isfinite(np.asarray(sr)).all()
+
+    def test_upscale_2(self, rng):
+        model = BasicVSR(mid_channels=8, res_blocks=1, upscale=2)
+        lrs = jnp.asarray(rng.random((1, 3, 16, 16, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), lrs)
+        sr = model.apply(variables, lrs)
+        assert sr.shape == (1, 3, 32, 32, 3)
+
+    def test_residual_path_at_zero_weights(self, rng):
+        """With all weights zero the output is exactly the bilinear base."""
+        from vsrlab_tpu.ops.resize import resize_bilinear
+
+        model = tiny_basicvsr()
+        lrs = jnp.asarray(rng.random((1, 3, 8, 8, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), lrs)
+        zeroed = jax.tree.map(jnp.zeros_like, variables)
+        sr = model.apply(zeroed, lrs)
+        base = resize_bilinear(
+            lrs.reshape(3, 8, 8, 3), (32, 32), align_corners=False
+        ).reshape(1, 3, 32, 32, 3)
+        np.testing.assert_allclose(np.asarray(sr), np.asarray(base), atol=1e-6)
+
+    def test_frozen_flow_gets_no_grad(self, rng):
+        """train_flow=False must stop gradients into SpyNet params
+        (reference freezes them via requires_grad=False, basicvsr.py:25-28)."""
+        model = tiny_basicvsr(train_flow=False)
+        lrs = jnp.asarray(rng.random((1, 3, 16, 16, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), lrs)
+
+        def loss_fn(params):
+            sr = model.apply({"params": params}, lrs)
+            return jnp.mean(sr**2)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        spynet_norm = sum(
+            float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["spynet"])
+        )
+        other_norm = sum(
+            float(jnp.abs(g).sum())
+            for k, v in grads.items()
+            if k != "spynet"
+            for g in jax.tree.leaves(v)
+        )
+        assert spynet_norm == 0.0
+        assert other_norm > 0.0
+
+    def test_temporal_propagation_reaches_all_frames(self, rng):
+        """Perturbing the middle frame must change every output frame
+        (bidirectional recurrence carries information both ways)."""
+        model = tiny_basicvsr()
+        lrs = jnp.asarray(rng.random((1, 5, 8, 8, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), lrs)
+        sr1 = np.asarray(model.apply(variables, lrs))
+        lrs2 = lrs.at[:, 2].add(0.1)
+        sr2 = np.asarray(model.apply(variables, lrs2))
+        per_frame_delta = np.abs(sr1 - sr2).reshape(5, -1).max(axis=1)
+        assert (per_frame_delta > 1e-6).all()
+
+
+class TestRealBasicVSR:
+    def test_returns_sr_and_cleaned(self, rng):
+        model = RealBasicVSR(
+            mid_channels=8, res_blocks=1, cleaning_blocks=1, upscale=4
+        )
+        lr = jnp.asarray(rng.random((1, 3, 16, 16, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), lr)
+        sr, lq = model.apply(variables, lr)
+        assert sr.shape == (1, 3, 64, 64, 3)
+        assert lq.shape == lr.shape
+
+
+class TestUNetDiscriminator:
+    def test_per_pixel_logits(self, rng):
+        model = UNetDiscriminator(mid_channels=8)
+        img = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), img)
+        logits = model.apply(variables, img)
+        assert logits.shape == (2, 32, 32, 1)
+
+    def test_spectral_stats_update(self, rng):
+        model = UNetDiscriminator(mid_channels=8)
+        img = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), img)
+        _, updates = model.apply(
+            variables, img, update_stats=True, mutable=["batch_stats"]
+        )
+        before = jax.tree.leaves(variables["batch_stats"])
+        after = jax.tree.leaves(updates["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, after)
+        )

@@ -1,0 +1,150 @@
+"""BasicVSR: bidirectional recurrent video super-resolution (Flax).
+
+Capability parity with the reference
+(src/vsr/models/RealBasicVSR/modules/basicvsr.py:11-83), redesigned for TPU:
+
+* the per-frame Python loops become two ``nn.scan`` recurrences over the
+  time axis (backward then forward) with a donated hidden-state carry —
+  one compiled loop body each, which XLA pipelines;
+* both flow directions are computed in ONE batched SpyNet call
+  (``2·B·(T-1)`` pairs) to keep the 7×7 convs MXU-saturated, instead of
+  two sequential calls (reference :30-37);
+* the boundary steps need no special-casing: the first step of each scan
+  warps a zero hidden state, and warping zeros is zeros, so a zero flow is
+  prepended and every step runs the same fused body;
+* fusion + upsampling (point_conv, PixelShufflePack ×2, conv_last,
+  bilinear residual — reference :62-83) run batched over ``B·T`` frames
+  after the scans, not per-frame.
+
+Input clips are ``(B, T, H, W, 3)`` in [0, 1]; output ``(B, T, sH, sW, 3)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vsrlab_tpu.models.spynet import SpyNet
+from vsrlab_tpu.nn.blocks import Conv2d, PixelShufflePack, ResidualBlock
+from vsrlab_tpu.ops.resize import resize_bilinear
+from vsrlab_tpu.ops.warp import flow_warp
+
+Dtype = Any
+
+
+class _PropagationCell(nn.Module):
+    """One recurrence step: warp hidden state by flow, concat the current
+    frame, run the residual stack (reference basicvsr.py:46-60)."""
+
+    mid_channels: int
+    res_blocks: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, feat_prop, inputs):
+        lr_t, flow_t = inputs
+        warped = flow_warp(feat_prop, flow_t)
+        feat = jnp.concatenate([lr_t, warped], axis=-1)
+        feat_prop = ResidualBlock(
+            self.mid_channels, self.res_blocks, dtype=self.dtype
+        )(feat)
+        return feat_prop, feat_prop
+
+
+class BasicVSR(nn.Module):
+    """Bidirectional recurrent VSR network.
+
+    Attributes mirror the reference constructor
+    (basicvsr.py:12-28): ``mid_channels``, ``res_blocks``, ``upscale``,
+    ``train_flow`` (when False, flows are ``stop_gradient``-ed — the JAX
+    equivalent of freezing SpyNet parameters).
+    """
+
+    mid_channels: int = 64
+    res_blocks: int = 30
+    upscale: int = 4
+    train_flow: bool = False
+    dtype: Dtype = None
+
+    def setup(self):
+        self.spynet = SpyNet(dtype=self.dtype)
+        self.backward_cell = _PropagationCell(
+            self.mid_channels, self.res_blocks, dtype=self.dtype,
+            name="backward_resblocks",
+        )
+        self.forward_cell = _PropagationCell(
+            self.mid_channels, self.res_blocks, dtype=self.dtype,
+            name="forward_resblocks",
+        )
+        self.point_conv = Conv2d(self.mid_channels, 1, 1, 0, dtype=self.dtype)
+        self.upsample = [
+            PixelShufflePack(self.mid_channels, 2, dtype=self.dtype)
+            for _ in range(self.upscale // 2)
+        ]
+        self.conv_hr = Conv2d(64, 3, 1, 1, dtype=self.dtype)
+        self.conv_last = Conv2d(3, 3, 1, 1, dtype=self.dtype)
+
+    def compute_flow(self, lrs):
+        """Both flow directions in one batched SpyNet call
+        (reference basicvsr.py:30-37)."""
+        b, t, h, w, c = lrs.shape
+        lrs_1 = lrs[:, :-1].reshape(-1, h, w, c)  # frames 0..t-2
+        lrs_2 = lrs[:, 1:].reshape(-1, h, w, c)   # frames 1..t-1
+        ref = jnp.concatenate([lrs_1, lrs_2], axis=0)
+        supp = jnp.concatenate([lrs_2, lrs_1], axis=0)
+        flows = self.spynet(ref, supp)
+        if not self.train_flow:
+            flows = jax.lax.stop_gradient(flows)
+        fb, ff = jnp.split(flows, 2, axis=0)
+        flows_backward = fb.reshape(b, t - 1, h, w, 2)
+        flows_forward = ff.reshape(b, t - 1, h, w, 2)
+        return flows_forward, flows_backward
+
+    def __call__(self, lrs):
+        b, t, h, w, c = lrs.shape
+        flows_forward, flows_backward = self.compute_flow(lrs)
+
+        zero_flow = jnp.zeros((b, 1, h, w, 2), flows_forward.dtype)
+        # backward scan visits frames t-1..0; step i warps with
+        # flows_backward[i] (and the first step's flow is never used
+        # because the hidden state is zero)
+        bwd_flows = jnp.concatenate(
+            [zero_flow, jnp.flip(flows_backward, axis=1)], axis=1
+        )
+        fwd_flows = jnp.concatenate([zero_flow, flows_forward], axis=1)
+
+        scan = nn.scan(
+            lambda cell, carry, xs: cell(carry, xs),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+
+        feat0 = jnp.zeros((b, h, w, self.mid_channels), lrs.dtype)
+        lrs_rev = jnp.flip(lrs, axis=1)
+        _, outputs_backward = scan(
+            self.backward_cell, feat0, (lrs_rev, bwd_flows)
+        )
+        outputs_backward = jnp.flip(outputs_backward, axis=1)
+        _, outputs_forward = scan(self.forward_cell, feat0, (lrs, fwd_flows))
+
+        # fusion + upsampling, batched over all frames
+        out = jnp.concatenate([outputs_backward, outputs_forward], axis=-1)
+        out = out.reshape(b * t, h, w, -1)
+        out = nn.leaky_relu(self.point_conv(out), 0.1)
+        for up in self.upsample:
+            out = up(out)
+        out = nn.leaky_relu(self.conv_hr(out), 0.1)
+        out = self.conv_last(out)
+
+        base = resize_bilinear(
+            lrs.reshape(b * t, h, w, c),
+            (h * self.upscale, w * self.upscale),
+            align_corners=False,
+        )
+        out = out + base
+        return out.reshape(b, t, h * self.upscale, w * self.upscale, 3)

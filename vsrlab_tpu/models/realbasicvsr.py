@@ -1,0 +1,52 @@
+"""RealBasicVSR: cleaning module + BasicVSR (Flax).
+
+Capability parity with the reference
+(src/vsr/models/RealBasicVSR/realbasicvsr.py:5-30): an
+:class:`~vsrlab_tpu.nn.blocks.IterativeRefinement` cleaner removes
+compression artifacts from the low-res clip, then BasicVSR super-resolves
+it. Returns ``(sr, lq)`` where ``lq`` is the cleaned input — the trainer
+adds a cleaning loss ``loss(lq, resize(hr))`` (reference
+src/core/utils.py:235-240).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vsrlab_tpu.models.basicvsr import BasicVSR
+from vsrlab_tpu.nn.blocks import IterativeRefinement
+
+Dtype = Any
+
+
+class RealBasicVSR(nn.Module):
+    mid_channels: int = 64
+    res_blocks: int = 30
+    cleaning_blocks: int = 20
+    cleaning_steps: int = 3
+    upscale: int = 4
+    train_flow: bool = False
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, lr: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, t, h, w, c = lr.shape
+        lq = IterativeRefinement(
+            self.mid_channels,
+            self.cleaning_blocks,
+            self.cleaning_steps,
+            dtype=self.dtype,
+            name="cleaner",
+        )(lr.reshape(b * t, h, w, c)).reshape(b, t, h, w, c)
+        sr = BasicVSR(
+            self.mid_channels,
+            self.res_blocks,
+            self.upscale,
+            self.train_flow,
+            dtype=self.dtype,
+            name="basicvsr",
+        )(lq)
+        return sr, lq

@@ -1,0 +1,133 @@
+"""SpyNet coarse-to-fine optical-flow pyramid (Flax, channels-last).
+
+One implementation covers all three reference variants, which are
+numerically identical pyramids differing only in what they return:
+
+* BasicVSR's ``Spynet`` (reference
+  src/vsr/models/RealBasicVSR/modules/spynet.py:23-93) — ``return_levels=[5]``
+* VRT's multi-scale ``SpyNet`` (reference
+  src/vsr/models/VRT/modules/spynet.py:81-159) — e.g. ``return_levels=[2,3,4,5]``
+* the trainable progressive variant (reference
+  src/optical_flow/models/spynet/model.py) — see
+  :class:`vsrlab_tpu.models.flow.spynet_progressive`.
+
+Algorithm: 6-level image pyramid via 2×2 average pooling on
+ImageNet-normalised frames; at each level the flow is upsampled ×2
+(bilinear, align_corners=True, values doubled), the support frame is
+warped by it (border padding), and a 5-layer 7×7 conv head predicts a
+residual flow. Inputs are bilinearly resized to a multiple of 32 and the
+output flow is resized/rescaled back.
+
+TPU notes: the whole pyramid is static-shaped and jit-compiles to dense
+convs; callers batch both flow directions (and all frame pairs) into one
+call so the 7×7 convs stay MXU-saturated.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Sequence, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vsrlab_tpu.nn.blocks import Conv2d
+from vsrlab_tpu.ops.pooling import avg_pool2d
+from vsrlab_tpu.ops.resize import resize_bilinear
+from vsrlab_tpu.ops.warp import flow_warp
+
+Dtype = Any
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class SpyNetBasicModule(nn.Module):
+    """Per-level flow head: 5 × (7×7 conv), ReLU between, 8→32→64→32→16→2
+    (reference src/vsr/models/VRT/modules/spynet.py:65-79)."""
+
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i, ch in enumerate((32, 64, 32, 16)):
+            x = Conv2d(ch, 7, 1, 3, dtype=self.dtype, name=f"conv_{i}")(x)
+            x = nn.relu(x)
+        return Conv2d(2, 7, 1, 3, dtype=self.dtype, name="conv_4")(x)
+
+
+class SpyNet(nn.Module):
+    """6-level SpyNet pyramid.
+
+    Args:
+      return_levels: which pyramid levels to emit; level 5 is full
+        resolution, level ``k`` is 1/2^(5-k) scale. A single level returns
+        one array, several return a list ordered fine→coarse (matching the
+        reference's ``flow_list`` ordering).
+
+    Input: ``ref``, ``supp`` frames ``(N, H, W, 3)`` in [0, 1].
+    Output: flow(s) ``(N, H/s, W/s, 2)`` with (dx, dy) pixel displacements.
+    """
+
+    return_levels: Sequence[int] = (5,)
+    levels: int = 6
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(
+        self, ref: jnp.ndarray, supp: jnp.ndarray
+    ) -> Union[jnp.ndarray, List[jnp.ndarray]]:
+        n, h, w, _ = ref.shape
+        h_up = int(math.ceil(h / 32.0) * 32)
+        w_up = int(math.ceil(w / 32.0) * 32)
+
+        if (h_up, w_up) != (h, w):
+            ref = resize_bilinear(ref, (h_up, w_up), align_corners=False)
+            supp = resize_bilinear(supp, (h_up, w_up), align_corners=False)
+
+        mean = jnp.asarray(IMAGENET_MEAN, ref.dtype)
+        std = jnp.asarray(IMAGENET_STD, ref.dtype)
+        ref_pyr = [(ref - mean) / std]
+        supp_pyr = [(supp - mean) / std]
+        for _ in range(self.levels - 1):
+            ref_pyr.append(avg_pool2d(ref_pyr[-1], 2, 2))
+            supp_pyr.append(avg_pool2d(supp_pyr[-1], 2, 2))
+        ref_pyr = ref_pyr[::-1]  # coarse -> fine
+        supp_pyr = supp_pyr[::-1]
+
+        heads = [
+            SpyNetBasicModule(dtype=self.dtype, name=f"basic_module_{i}")
+            for i in range(self.levels)
+        ]
+
+        flows_out: List[jnp.ndarray] = []
+        flow = jnp.zeros(
+            (n, h_up // 32, w_up // 32, 2), dtype=ref_pyr[0].dtype
+        )
+        for level in range(self.levels):
+            if level == 0:
+                flow_up = flow
+            else:
+                lh, lw = ref_pyr[level].shape[1:3]
+                flow_up = (
+                    resize_bilinear(flow, (lh, lw), align_corners=True) * 2.0
+                )
+            warped = flow_warp(
+                supp_pyr[level], flow_up, padding_mode="border"
+            )
+            residue = heads[level](
+                jnp.concatenate([ref_pyr[level], warped, flow_up], axis=-1)
+            )
+            flow = flow_up + residue
+
+            if level in self.return_levels:
+                scale = 2 ** (self.levels - 1 - level)
+                out = resize_bilinear(
+                    flow, (h // scale, w // scale), align_corners=False
+                )
+                sx = float(w // scale) / float(w_up // scale)
+                sy = float(h // scale) / float(h_up // scale)
+                out = out * jnp.asarray([sx, sy], out.dtype)
+                flows_out.insert(0, out)
+
+        return flows_out[0] if len(flows_out) == 1 else flows_out

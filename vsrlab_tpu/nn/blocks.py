@@ -1,0 +1,376 @@
+"""Reusable conv building blocks (Flax linen, channels-last).
+
+TPU-native rebuild of the reference block zoo (reference:
+src/core/modules/conv.py, src/core/modules/upsampling.py). Design notes:
+
+* Channels-last ``(B, H, W, C)`` / ``(B, T, H, W, C)`` everywhere — the
+  layout XLA:TPU prefers for convolutions.
+* ``dtype`` threads a mixed-precision compute dtype (bf16 on TPU) through
+  every block; parameters stay in ``param_dtype`` (fp32 by default). This
+  replaces torch AMP autocast (reference src/train.py:93).
+* Default initializers reproduce torch's ``nn.Conv2d`` defaults
+  (kaiming_uniform(a=sqrt(5)) + fan-in uniform bias) so training dynamics
+  match the reference.
+* Deep residual stacks use ``nn.scan`` over stacked parameters so the HLO
+  stays small (30-block stacks compile as one loop, not 30 inlined bodies).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsrlab_tpu.ops.pixel_shuffle import pixel_shuffle
+
+Dtype = Any
+
+# torch nn.Conv2d default: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), +1/sqrt(fan_in))
+torch_conv_kernel_init = jax.nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def torch_bias_init(dtype=jnp.float32):
+    """torch conv/linear default bias: U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
+
+    flax bias initializers don't see fan_in, so we recover it from the
+    kernel-shaped metadata stashed by the calling module via closure. Since
+    linen calls ``bias_init(key, (features,), dtype)`` we cannot; instead
+    modules below pass an explicit fan_in via :func:`uniform_bias_init`.
+    """
+    return jax.nn.initializers.zeros  # fallback; modules use uniform_bias_init
+
+
+def uniform_bias_init(fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv2d(nn.Module):
+    """Torch-default-initialised 2-D conv on (B, H, W, C)."""
+
+    features: int
+    kernel_size: int | Tuple[int, int] = 3
+    strides: int = 1
+    padding: int | str = 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        ks = (
+            (self.kernel_size, self.kernel_size)
+            if isinstance(self.kernel_size, int)
+            else tuple(self.kernel_size)
+        )
+        pad = (
+            self.padding
+            if isinstance(self.padding, str)
+            else [(self.padding, self.padding)] * 2
+        )
+        fan_in = int(np.prod(ks)) * x.shape[-1] // self.feature_group_count
+        return nn.Conv(
+            self.features,
+            ks,
+            strides=(self.strides, self.strides),
+            padding=pad,
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=uniform_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvReLU(nn.Module):
+    """conv → ReLU (reference src/core/modules/conv.py:15-23)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2d(
+            self.features, self.kernel_size, self.strides, self.padding,
+            dtype=self.dtype,
+        )(x)
+        return nn.relu(x)
+
+
+class ConvLeaky(nn.Module):
+    """conv → LeakyReLU(0.1) (reference src/core/modules/conv.py:25-31;
+    the reference class is broken — undefined ``*args`` — this is the
+    intended behavior)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2d(
+            self.features, self.kernel_size, self.strides, self.padding,
+            dtype=self.dtype,
+        )(x)
+        return nn.leaky_relu(x, 0.1)
+
+
+class SpectralConv(nn.Module):
+    """Spectral-normalised conv, no bias (reference conv.py:7-13).
+
+    Power-iteration state lives in the ``batch_stats`` collection; pass
+    ``update_stats=True`` during discriminator training steps.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        conv = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=False,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype,
+        )
+        return nn.SpectralNorm(conv)(x, update_stats=update_stats)
+
+
+class ResidualConv(nn.Module):
+    """x + conv2(relu(conv1(x))) (reference conv.py:82-92)."""
+
+    features: int = 64
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        x = Conv2d(self.features, 3, 1, 1, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = Conv2d(self.features, 3, 1, 1, dtype=self.dtype)(x)
+        return x + res
+
+
+class ResidualBlock(nn.Module):
+    """conv+LeakyReLU(0.1) head then ``blocks`` × ResidualConv
+    (reference conv.py:94-103 — THE BasicVSR workhorse).
+
+    The residual stack is an ``nn.scan`` over stacked parameters: one loop
+    body in HLO regardless of depth, which keeps VRT/BasicVSR compile times
+    flat and lets XLA pipeline the weight streams from HBM.
+    """
+
+    features: int = 64
+    blocks: int = 30
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvLeaky(self.features, 3, 1, 1, dtype=self.dtype)(x)
+        if self.blocks == 0:
+            return x
+
+        scan = nn.scan(
+            lambda mod, carry, _: (mod(carry), None),
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.blocks,
+        )
+        x, _ = scan(
+            ResidualConv(self.features, dtype=self.dtype, name="res_blocks"),
+            x,
+            None,
+        )
+        return x
+
+
+class ConvST(nn.Module):
+    """Factorised spatio-temporal 3-D conv: (1,k,k) spatial then (k,1,1)
+    temporal, both bias-free (reference conv.py:105-130). Input/output
+    ``(B, T, H, W, C)``."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3, 3)
+    strides: Sequence[int] = (1, 1, 1)
+    padding: Sequence[int] = (1, 1, 1)
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel_size
+        st, sh, sw = self.strides
+        pt, ph, pw = self.padding
+        fan_sp = kh * kw * x.shape[-1]
+        x = nn.Conv(
+            self.features,
+            (1, kh, kw),
+            strides=(1, sh, sw),
+            padding=[(0, 0), (ph, ph), (pw, pw)],
+            use_bias=False,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype,
+        )(x)
+        x = nn.Conv(
+            self.features,
+            (kt, 1, 1),
+            strides=(st, 1, 1),
+            padding=[(pt, pt), (0, 0), (0, 0)],
+            use_bias=False,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype,
+        )(x)
+        return x
+
+
+class ConvSTBlock(nn.Module):
+    """3-D conv head + ``blocks`` × ConvST (reference conv.py:132-143)."""
+
+    features: int
+    blocks: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = 27 * x.shape[-1]
+        x = nn.Conv(
+            self.features,
+            (3, 3, 3),
+            padding=[(1, 1)] * 3,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=uniform_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+        for i in range(self.blocks):
+            x = ConvST(self.features, dtype=self.dtype, name=f"st_{i}")(x)
+        return x
+
+
+class PixelShufflePack(nn.Module):
+    """conv to ``out_ch*r^2`` then depth-to-space ×r
+    (reference src/core/modules/upsampling.py:4-12)."""
+
+    features: int
+    upscale_factor: int = 2
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.upscale_factor
+        x = Conv2d(self.features * r * r, 3, 1, 1, dtype=self.dtype)(x)
+        return pixel_shuffle(x, r)
+
+
+class PixelShufflePack3D(nn.Module):
+    """ConvST to ``out_ch*r^2`` then per-frame depth-to-space
+    (reference upsampling.py:14-23). Input ``(B, T, H, W, C)``."""
+
+    features: int
+    upscale_factor: int = 2
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.upscale_factor
+        x = ConvST(self.features * r * r, dtype=self.dtype)(x)
+        b, t, h, w, c = x.shape
+        x = pixel_shuffle(x.reshape(b * t, h, w, c), r)
+        return x.reshape(b, t, h * r, w * r, -1)
+
+
+class IterativeRefinement(nn.Module):
+    """RealBasicVSR cleaning module: ``steps`` × (x += conv(resblock(x)))
+    over flattened frames (reference
+    src/vsr/models/RealBasicVSR/realbasicvsr.py:17-30).
+
+    Operates on frames ``(N, H, W, 3)``; callers flatten clips first.
+    """
+
+    mid_channels: int = 64
+    blocks: int = 20
+    steps: int = 3
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        resblock = ResidualBlock(self.mid_channels, self.blocks, dtype=self.dtype)
+        conv = Conv2d(3, 3, 1, 1, dtype=self.dtype)
+        for _ in range(self.steps):
+            x = x + conv(resblock(x))
+        return x
+
+
+class DeformConvPack(nn.Module):
+    """Deformable conv with learned offsets (reference conv.py:33-65):
+    offsets come from a zero-initialised conv over the input, then a
+    deformable 3×3 conv via :func:`vsrlab_tpu.ops.deform.deform_conv2d`."""
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+    deformable_groups: int = 1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        from vsrlab_tpu.ops.deform import deform_conv2d
+
+        k = self.kernel_size
+        offset = nn.Conv(
+            self.deformable_groups * 2 * k * k,
+            (k, k),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_init=jax.nn.initializers.zeros,
+            bias_init=jax.nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+        fan_in = k * k * x.shape[-1]
+        weight = self.param(
+            "weight",
+            torch_conv_kernel_init,
+            (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", uniform_bias_init(fan_in), (self.features,), jnp.float32
+        )
+        return deform_conv2d(
+            x, offset, weight, bias, stride=1, padding=self.padding
+        )
+
+
+class DeformBlock(nn.Module):
+    """conv_in → N×DeformConvPack → conv_out (reference conv.py:67-80)."""
+
+    in_features: int
+    mid_features: int
+    blocks: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2d(self.mid_features, 3, 1, 1, dtype=self.dtype)(x)
+        for i in range(self.blocks):
+            x = DeformConvPack(
+                self.mid_features, dtype=self.dtype, name=f"dc_{i}"
+            )(x)
+        return Conv2d(self.in_features, 3, 1, 1, dtype=self.dtype)(x)

@@ -68,31 +68,29 @@ def _gather_2d(x_flat, idx_y, idx_x, h: int, w: int):
     return out.reshape(idx_y.shape + (c,))
 
 
-def grid_sample(
+def sample_pixel_coords(
     x: jnp.ndarray,
-    grid: jnp.ndarray,
+    ix: jnp.ndarray,
+    iy: jnp.ndarray,
     mode: str = "bilinear",
     padding_mode: str = "zeros",
     align_corners: bool = False,
 ) -> jnp.ndarray:
-    """Torch-exact ``grid_sample`` on channels-last images.
+    """Sample ``x`` at continuous PIXEL coordinates (no [-1,1] roundtrip).
+
+    This is the precision-critical core: :func:`flow_warp` calls it with
+    ``grid + flow`` directly, so integer-pixel flows sample exactly (the
+    torch reference normalises to [-1,1] and back, which costs 1 ULP on
+    TPU and breaks bitwise-stable warping).
 
     Args:
-      x: ``(N, H, W, C)`` input.
-      grid: ``(N, Ho, Wo, 2)`` normalized ``(x, y)`` coordinates in [-1, 1].
-      mode: ``bilinear`` | ``nearest``.
-      padding_mode: ``zeros`` | ``border`` | ``reflection``.
-      align_corners: torch corner convention.
-
-    Returns:
-      ``(N, Ho, Wo, C)`` sampled output.
+      x: ``(N, H, W, C)``.
+      ix, iy: ``(N, Ho, Wo)`` pixel coordinates.
     """
     n, h, w, c = x.shape
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    gx = grid[..., 0].astype(compute_dtype)
-    gy = grid[..., 1].astype(compute_dtype)
-    ix = _unnormalize(gx, w, align_corners)
-    iy = _unnormalize(gy, h, align_corners)
+    ix = ix.astype(compute_dtype)
+    iy = iy.astype(compute_dtype)
     ix, iy = _pad_coords(ix, iy, h, w, padding_mode, align_corners)
 
     x_flat = x.reshape(n, h * w, c).astype(compute_dtype)
@@ -134,6 +132,32 @@ def grid_sample(
     return out.astype(x.dtype)
 
 
+def grid_sample(
+    x: jnp.ndarray,
+    grid: jnp.ndarray,
+    mode: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Torch-exact ``grid_sample`` on channels-last images.
+
+    Args:
+      x: ``(N, H, W, C)`` input.
+      grid: ``(N, Ho, Wo, 2)`` normalized ``(x, y)`` coordinates in [-1, 1].
+      mode: ``bilinear`` | ``nearest``.
+      padding_mode: ``zeros`` | ``border`` | ``reflection``.
+      align_corners: torch corner convention.
+
+    Returns:
+      ``(N, Ho, Wo, C)`` sampled output.
+    """
+    n, h, w, c = x.shape
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    ix = _unnormalize(grid[..., 0].astype(compute_dtype), w, align_corners)
+    iy = _unnormalize(grid[..., 1].astype(compute_dtype), h, align_corners)
+    return sample_pixel_coords(x, ix, iy, mode, padding_mode, align_corners)
+
+
 def _base_grid(h: int, w: int, dtype) -> jnp.ndarray:
     """(H, W, 2) integer pixel grid with (x, y) order."""
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -170,24 +194,29 @@ def flow_warp(
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
     grid = _base_grid(h, w, compute_dtype)[None]  # (1, H, W, 2)
     vgrid = grid + flow.astype(compute_dtype)
+    vx, vy = vgrid[..., 0], vgrid[..., 1]
 
-    def normalize(coords_x, coords_y):
-        nx = 2.0 * coords_x / max(w - 1, 1) - 1.0
-        ny = 2.0 * coords_y / max(h - 1, 1) - 1.0
-        return jnp.stack([nx, ny], axis=-1)
+    if not align_corners:
+        # torch reference normalises with the (size-1) convention then
+        # grid_sample unnormalises with align_corners=False — NOT an
+        # identity; reproduce the roundtrip for exact parity.
+        vx = _unnormalize(2.0 * vx / max(w - 1, 1) - 1.0, w, False)
+        vy = _unnormalize(2.0 * vy / max(h - 1, 1) - 1.0, h, False)
+    # align_corners=True (the reference default): the normalise/unnormalise
+    # pair is an exact identity, so sample at pixel coords directly —
+    # bitwise-stable for integer flows (BASELINE.md north-star) and cheaper.
 
     if interpolation == "nearest4":
-        vx, vy = vgrid[..., 0], vgrid[..., 1]
-        grids = [
-            normalize(jnp.floor(vx), jnp.floor(vy)),
-            normalize(jnp.floor(vx), jnp.ceil(vy)),
-            normalize(jnp.ceil(vx), jnp.floor(vy)),
-            normalize(jnp.ceil(vx), jnp.ceil(vy)),
+        taps = [
+            (jnp.floor(vx), jnp.floor(vy)),
+            (jnp.floor(vx), jnp.ceil(vy)),
+            (jnp.ceil(vx), jnp.floor(vy)),
+            (jnp.ceil(vx), jnp.ceil(vy)),
         ]
         outs = [
-            grid_sample(x, g, "nearest", padding_mode, align_corners) for g in grids
+            sample_pixel_coords(x, tx, ty, "nearest", padding_mode, align_corners)
+            for tx, ty in taps
         ]
         return jnp.concatenate(outs, axis=-1)
 
-    g = normalize(vgrid[..., 0], vgrid[..., 1])
-    return grid_sample(x, g, interpolation, padding_mode, align_corners)
+    return sample_pixel_coords(x, vx, vy, interpolation, padding_mode, align_corners)
