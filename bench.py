@@ -1,0 +1,75 @@
+"""Headline benchmark: RealBasicVSR 4× inference on 720p-output clips.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}``
+
+The north-star target (BASELINE.json) is ≥3× an A100's frames/sec/chip
+for 4× RealBasicVSR at 720p output. The reference publishes no A100
+number; we anchor the baseline at 3.4 fps/A100 — RealBasicVSR's paper-era
+throughput for 180×320→720×1280 on high-end GPUs — so ``vs_baseline`` is
+``value / (3 * 3.4)`` (≥1.0 means the 3×-A100 north star is met).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_FPS_ANCHOR = 3.4
+TARGET_MULTIPLE = 3.0
+
+
+def main() -> None:
+    from vsrlab_tpu.models import RealBasicVSR
+
+    t_frames, h, w = 10, 180, 320  # -> 720x1280 output
+    model = RealBasicVSR(
+        mid_channels=64, res_blocks=30, cleaning_blocks=20, dtype=jnp.bfloat16
+    )
+    lr = jnp.asarray(
+        np.random.default_rng(0).random((1, t_frames, h, w, 3)), jnp.float32
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), lr)
+    params = variables["params"]
+
+    @jax.jit
+    def forward(params, lr):
+        sr, _ = model.apply({"params": params}, lr)
+        # reduce to a scalar on-device: the timing loop forces a host
+        # readback per iteration (block_until_ready does not reliably
+        # synchronize through remote-device tunnels)
+        return sr.shape, jnp.sum(sr)
+
+    shape, s = forward(params, lr)
+    float(s)  # compile + execute
+    assert tuple(shape) == (1, t_frames, 720, 1280, 3), shape
+
+    n_iters = 5
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            _, s = forward(params, lr)
+        float(s)  # host sync
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+    dt = best
+
+    fps = t_frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": "realbasicvsr_4x_720p_inference",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / (TARGET_MULTIPLE * A100_FPS_ANCHOR), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

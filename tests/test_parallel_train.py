@@ -1,0 +1,135 @@
+"""Multi-device (8 virtual CPU) tests for the mesh + train-step layer —
+the capability the torch reference structurally lacked (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vsrlab_tpu.models import BasicVSR, RealBasicVSR
+from vsrlab_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    local_batch_slice,
+    replicated,
+    shard_batch,
+)
+from vsrlab_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_supervised_train_step,
+)
+
+
+def tiny_model():
+    return RealBasicVSR(mid_channels=8, res_blocks=1, cleaning_blocks=1)
+
+
+def make_batch(rng, b=8, t=3, h=8, w=8, scale=4):
+    return {
+        "lr": jnp.asarray(rng.random((b, t, h, w, 3)), jnp.float32),
+        "hr": jnp.asarray(rng.random((b, t, h * scale, w * scale, 3)), jnp.float32),
+    }
+
+
+class TestMesh:
+    def test_create_default(self):
+        mesh = create_mesh()
+        assert mesh.shape == {"data": 8}
+
+    def test_create_2d_with_inference(self):
+        mesh = create_mesh({"data": -1, "time": 2})
+        assert mesh.shape == {"data": 4, "time": 2}
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError):
+            create_mesh({"data": 3, "time": 2})
+
+    def test_shard_batch_places_on_devices(self, rng):
+        mesh = create_mesh({"data": 8})
+        batch = shard_batch(make_batch(rng), mesh)
+        assert len(batch["lr"].sharding.device_set) == 8
+
+    def test_local_batch_slice_single_process(self):
+        assert local_batch_slice(16) == slice(0, 16)
+        assert local_batch_slice(16, axis_size=4) == slice(0, 4)
+
+
+class TestShardedTraining:
+    def test_dp_step_matches_single_device(self, rng):
+        """Data-parallel gradients must equal single-device gradients."""
+        model = tiny_model()
+        batch = make_batch(rng, b=8)
+        tx = optax.sgd(0.1)
+        state = create_train_state(model, jax.random.PRNGKey(0), batch["lr"], tx)
+        step = make_supervised_train_step(model, donate=False)
+
+        # single device
+        state1, m1 = step(state, batch)
+
+        # 8-way DP
+        mesh = create_mesh({"data": 8})
+        with mesh:
+            state_r = jax.device_put(state, replicated(mesh))
+            batch_s = shard_batch(batch, mesh)
+            state8, m8 = step(state_r, batch_s)
+
+        np.testing.assert_allclose(
+            float(m1["Loss"]), float(m8["Loss"]), rtol=1e-5
+        )
+        l1 = jax.tree.leaves(state1.params)
+        l8 = jax.tree.leaves(state8.params)
+        for a, b in zip(l1, l8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_grad_accum_matches_full_batch(self, rng):
+        """scan-accumulated microbatch grads == one big batch (same data)."""
+        model = tiny_model()
+        batch = make_batch(rng, b=4)
+        tx = optax.sgd(0.1)
+        state = create_train_state(model, jax.random.PRNGKey(0), batch["lr"], tx)
+
+        s_full, m_full = make_supervised_train_step(model, donate=False)(
+            state, batch
+        )
+        s_acc, m_acc = make_supervised_train_step(
+            model, num_grad_accum=2, donate=False
+        )(state, batch)
+
+        np.testing.assert_allclose(
+            float(m_full["Loss"]), float(m_acc["Loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(s_full.params), jax.tree.leaves(s_acc.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_loss_decreases(self, rng):
+        """A few steps on a fixed batch must reduce the loss."""
+        model = tiny_model()
+        batch = make_batch(rng, b=2)
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), batch["lr"], tx)
+        step = make_supervised_train_step(model, compute_metrics=False)
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["Loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_eval_step(self, rng):
+        model = tiny_model()
+        batch = make_batch(rng, b=2)
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), batch["lr"], tx)
+        metrics, sr = make_eval_step(model)(state.params, batch)
+        assert sr.shape == batch["hr"].shape
+        assert np.isfinite(float(metrics["PSNR"]))
+
+
+class TestEntryContract:
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)

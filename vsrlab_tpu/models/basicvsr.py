@@ -124,7 +124,9 @@ class BasicVSR(nn.Module):
             out_axes=1,
         )
 
-        feat0 = jnp.zeros((b, h, w, self.mid_channels), lrs.dtype)
+        feat0 = jnp.zeros(
+            (b, h, w, self.mid_channels), self.dtype or lrs.dtype
+        )
         lrs_rev = jnp.flip(lrs, axis=1)
         _, outputs_backward = scan(
             self.backward_cell, feat0, (lrs_rev, bwd_flows)

@@ -1,0 +1,89 @@
+"""Device mesh construction and sharding helpers.
+
+The canonical mesh for this framework is ``('data', 'time')``:
+
+* ``data`` — batch (data-parallel) axis; gradients all-reduce over it.
+* ``time`` — optional sequence-parallel axis for sharding the frame axis
+  of long clips at inference (SURVEY.md §7.1 "sequence scaling").
+
+``create_mesh`` with a single integer builds a pure-DP mesh; pass a dict
+to lay out multiple axes. All helpers work identically on real TPU
+slices and on the 8-virtual-device CPU platform used in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Union
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    axes: Union[int, Dict[str, int], None] = None,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ``jax.sharding.Mesh``.
+
+    Args:
+      axes: ``None`` → all devices on a single ``data`` axis;
+        ``int n`` → ``data=n``; dict → explicit axis sizes, e.g.
+        ``{"data": 4, "time": 2}``. Sizes must multiply to the device count
+        (a trailing ``-1`` axis size is inferred).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if axes is None:
+        axes = {"data": n}
+    elif isinstance(axes, int):
+        axes = {"data": axes}
+    names = tuple(axes.keys())
+    sizes = list(axes.values())
+    if sizes.count(-1) == 1:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = n // known
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding that splits axis 0 (batch) over a mesh axis, rest replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch (pytree of arrays) with axis-0 sharded over ``axis``.
+
+    The TPU-native replacement for ``DistributedSampler`` + ``.to(device)``
+    (reference src/core/utils.py:199-200, src/train.py:90-91).
+    """
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def local_batch_slice(global_batch: int, axis_size: Optional[int] = None) -> slice:
+    """This process's slice of a globally-indexed batch (multi-host input
+    sharding: each host feeds its own shard)."""
+    n = jax.process_count() if axis_size is None else axis_size
+    idx = jax.process_index()
+    per = global_batch // n
+    return slice(idx * per, (idx + 1) * per)
+
+
+def process_index() -> int:
+    """Rank-0 equivalence: reference gates wandb/checkpoint side effects on
+    ``rank == 0`` (src/train.py:60-61); we gate on process 0."""
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()

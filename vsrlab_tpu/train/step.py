@@ -1,0 +1,136 @@
+"""Jitted SPMD train / eval steps.
+
+One pure function replaces the reference's per-batch hot loop
+(src/train.py:85-101 + src/core/utils.py:235-281):
+
+* forward (+ cleaning branch), Charbonnier loss, grads, clip, update —
+  all inside one ``jit``;
+* gradient accumulation = ``lax.scan`` over a leading microbatch axis
+  (reference divides the loss and steps every ``num_grad_acc`` batches);
+* data parallelism: the batch axis is sharded over the mesh ``data``
+  axis; XLA emits the gradient all-reduce over ICI automatically;
+* PSNR/SSIM computed on-device in the same program — no per-batch
+  ``.item()`` device syncs (reference src/core/utils.py:249-252).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vsrlab_tpu.core.losses import charbonnier_loss
+from vsrlab_tpu.core.metrics import psnr, ssim
+from vsrlab_tpu.ops.resize import resize_bilinear
+from vsrlab_tpu.train.state import TrainState
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def _resize_clip_to(hr: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Bicubic-free downscale of HR clips to the LR grid for the cleaning
+    loss (reference uses kornia resize, src/core/utils.py:238-239)."""
+    b, t, h, w, c = hr.shape
+    th, tw = like.shape[2:4]
+    out = resize_bilinear(hr.reshape(b * t, h, w, c), (th, tw), align_corners=False)
+    return out.reshape(b, t, th, tw, c)
+
+
+def default_metrics(sr, hr) -> Dict[str, jnp.ndarray]:
+    sr = jnp.clip(sr, 0.0, 1.0)
+    hr = jnp.clip(hr, 0.0, 1.0)
+    return {"PSNR": psnr(sr, hr), "SSIM": ssim(sr, hr)}
+
+
+def supervised_loss(
+    model_out,
+    batch: Batch,
+    loss_fn: Callable = charbonnier_loss,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Charbonnier(sr, hr) + Charbonnier(lq, resize(hr)) when the model
+    returns a cleaned branch (reference compute_loss,
+    src/core/utils.py:235-240)."""
+    if isinstance(model_out, tuple):
+        sr, lq = model_out
+    else:
+        sr, lq = model_out, None
+    hr = batch["hr"]
+    loss = loss_fn(sr, hr)
+    if lq is not None:
+        loss = loss + loss_fn(lq, _resize_clip_to(hr, lq))
+    return loss, {"sr": sr}
+
+
+def make_supervised_train_step(
+    model,
+    loss_fn: Callable = charbonnier_loss,
+    num_grad_accum: int = 1,
+    compute_metrics: bool = True,
+    donate: bool = True,
+):
+    """Build the jitted supervised train step.
+
+    The returned ``train_step(state, batch)`` expects ``batch`` dict with
+    ``lr``/``hr`` clips of shape ``(B, T, H, W, 3)``; when
+    ``num_grad_accum > 1``, ``B`` must be divisible by it and microbatches
+    are scanned sequentially (grad-accum semantics of reference
+    update_weights, src/core/utils.py:270-281).
+    """
+
+    def loss_for(params, lr, hr):
+        out = model.apply({"params": params}, lr)
+        loss, aux = supervised_loss(out, {"lr": lr, "hr": hr}, loss_fn)
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(loss_for, has_aux=True)
+
+    def step(state: TrainState, batch: Batch):
+        lr, hr = batch["lr"], batch["hr"]
+        if num_grad_accum == 1:
+            (loss, aux), grads = grad_fn(state.params, lr, hr)
+            sr = aux["sr"]
+        else:
+            b = lr.shape[0]
+            mb = b // num_grad_accum
+            lr_m = lr.reshape((num_grad_accum, mb) + lr.shape[1:])
+            hr_m = hr.reshape((num_grad_accum, mb) + hr.shape[1:])
+
+            def accum(carry, xs):
+                g_acc, l_acc = carry
+                lr_i, hr_i = xs
+                (l, aux_i), g = grad_fn(state.params, lr_i, hr_i)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l), aux_i["sr"]
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss), sr_m = jax.lax.scan(
+                accum, (g0, jnp.zeros((), jnp.float32)), (lr_m, hr_m)
+            )
+            grads = jax.tree.map(lambda g: g / num_grad_accum, grads)
+            loss = loss / num_grad_accum
+            sr = sr_m.reshape((b,) + sr_m.shape[2:])
+
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"Loss": loss}
+        if compute_metrics:
+            metrics.update(default_metrics(sr, batch["hr"]))
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_fn: Callable = charbonnier_loss):
+    """Jitted eval step: forward + loss + PSNR/SSIM (reference evaluate,
+    src/train.py:28-50). Returns (metrics, sr) so callers can log image
+    grids."""
+
+    def step(params, batch: Batch):
+        out = model.apply({"params": params}, batch["lr"])
+        loss, aux = supervised_loss(out, batch, loss_fn)
+        sr = aux["sr"]
+        metrics = {"Loss": loss, **default_metrics(sr, batch["hr"])}
+        return metrics, sr
+
+    return jax.jit(step)
