@@ -1,0 +1,187 @@
+"""Config system, data pipeline, and logger tests."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import vsrlab_tpu.components  # noqa: F401
+from vsrlab_tpu.core.config import Config, instantiate, load_config
+from vsrlab_tpu.data import (
+    DataLoader,
+    DatasetVSR,
+    Mirroring,
+    RandomCrop,
+    RandomFlip,
+    RandomJPEGCompression,
+    RandomVideoCompression,
+    SyntheticVSR,
+)
+
+CONF = Path(__file__).resolve().parents[1] / "conf"
+
+
+class TestConfig:
+    def test_compose_default(self):
+        cfg = load_config(CONF)
+        assert cfg.train.model._target_ == "RealBasicVSR"
+        assert cfg.train.optimizer._target_ == "adam"
+        # interpolation: model.upscale <- train.data.datasets.train.scale
+        assert cfg.train.model.upscale == 4
+        # scheduler T_max <- train.max_epochs
+        assert cfg.train.scheduler.T_max == cfg.train.max_epochs
+
+    def test_experiment_overlay(self):
+        cfg = load_config(CONF, overrides=["+experiment=basic"])
+        assert cfg.train.model.cleaning_blocks == 5
+        assert cfg.train.data.batch_size == 32
+        assert cfg.train.num_grad_acc == 4
+        assert cfg.train.model.train_flow is True
+
+    def test_dotted_overrides(self):
+        cfg = load_config(
+            CONF,
+            overrides=["train.data.batch_size=7", "train.model.mid_channels=16"],
+        )
+        assert cfg.train.data.batch_size == 7
+        assert cfg.train.model.mid_channels == 16
+
+    def test_env_interpolation(self, monkeypatch):
+        monkeypatch.setenv("LOGGING_DIR", "/tmp/xyz")
+        cfg = load_config(CONF)
+        assert cfg.core.storage_dir == "/tmp/xyz"
+
+    def test_env_default(self, monkeypatch):
+        monkeypatch.delenv("LOGGING_DIR", raising=False)
+        cfg = load_config(CONF)
+        assert cfg.core.storage_dir == "./logs"
+
+    def test_instantiate_model(self):
+        cfg = load_config(CONF, overrides=["+experiment=synthetic"])
+        model = instantiate(cfg.train.model)
+        assert model.mid_channels == 8
+
+    def test_reference_target_alias(self):
+        model = instantiate(
+            {
+                "_target_": "vsrlab.vsr.models.RealBasicVSR.realbasicvsr.RealBasicVSR",
+                "mid_channels": 8,
+                "res_blocks": 1,
+                "cleaning_blocks": 1,
+            }
+        )
+        assert model.mid_channels == 8
+
+    def test_unknown_target_rejected(self):
+        with pytest.raises(KeyError):
+            instantiate({"_target_": "os.system"})
+
+
+class TestAugmentations:
+    def test_jpeg_roundtrip_artifacts(self, rng):
+        clip = rng.random((2, 32, 32, 3)).astype(np.float32)
+        aug = RandomJPEGCompression(quality=(10, 10))
+        out = aug(clip, rng)
+        assert out.shape == clip.shape
+        assert out.dtype == np.float32
+        # heavy compression must actually change the data
+        assert np.abs(out - clip).mean() > 1e-3
+
+    def test_jpeg_quality_sampled_per_call(self):
+        """Reference bug (SURVEY.md §7.4): severity frozen at init. Here
+        two calls with different rng states give different outputs."""
+        clip = np.random.default_rng(0).random((1, 32, 32, 3)).astype(np.float32)
+        aug = RandomJPEGCompression(quality=(5, 95))
+        o1 = aug(clip, np.random.default_rng(1))
+        o2 = aug(clip, np.random.default_rng(2))
+        assert not np.allclose(o1, o2)
+
+    def test_video_compression(self, rng):
+        clip = rng.random((5, 48, 48, 3)).astype(np.float32)
+        aug = RandomVideoCompression(codec=["libx264"], crf=(28, 28), fps=(10, 10))
+        out = aug(clip, rng)
+        assert out.shape == clip.shape
+        assert np.abs(out - clip).mean() > 1e-4
+
+    def test_crop_flip_mirror(self, rng):
+        clip = rng.random((3, 16, 16, 3)).astype(np.float32)
+        cropped = RandomCrop(8)(clip, rng)
+        assert cropped.shape == (3, 8, 8, 3)
+        flipped = RandomFlip(p=1.0)(clip, rng)
+        np.testing.assert_allclose(flipped, clip[:, :, ::-1])
+        mirrored = Mirroring()(clip, rng)
+        assert mirrored.shape == (6, 16, 16, 3)
+        np.testing.assert_allclose(mirrored[3:], clip[::-1])
+
+
+class TestDatasets:
+    def test_synthetic_deterministic(self):
+        ds = SyntheticVSR(num_videos=4, seq=3, height=32, width=32, scale=4)
+        lr1, hr1 = ds[0]
+        lr2, hr2 = ds[0]
+        np.testing.assert_array_equal(hr1, hr2)
+        assert hr1.shape == (3, 32, 32, 3)
+        assert lr1.shape == (3, 8, 8, 3)
+        assert hr1.min() >= 0 and hr1.max() <= 1
+
+    def test_folder_dataset(self, tmp_path, rng):
+        import cv2
+
+        for v in range(3):
+            d = tmp_path / f"video{v}"
+            d.mkdir()
+            for i in range(6):
+                img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+                cv2.imwrite(str(d / f"{i:03d}.png"), img)
+        ds = DatasetVSR(str(tmp_path), split="train", seq=4, train_size=0.67, scale=2)
+        assert len(ds) == 2  # 3 * 0.67 -> 2 train videos
+        lr, hr = ds[0]
+        assert hr.shape == (4, 16, 16, 3)
+        assert lr.shape == (4, 8, 8, 3)
+        val = DatasetVSR(str(tmp_path), split="val", seq=4, train_size=0.67, scale=2)
+        assert len(val) == 1
+
+    def test_loader_batches_and_sharding(self):
+        ds = SyntheticVSR(num_videos=8, seq=2, height=16, width=16, scale=4)
+        dl = DataLoader(ds, batch_size=4, num_workers=2, seed=0)
+        batches = list(dl)
+        assert len(batches) == 2
+        assert batches[0]["lr"].shape == (4, 2, 4, 4, 3)
+        assert batches[0]["hr"].shape == (4, 2, 16, 16, 3)
+
+        # 2-shard loaders partition each global batch disjointly
+        dl0 = DataLoader(ds, batch_size=4, num_shards=2, shard_index=0, seed=0)
+        dl1 = DataLoader(ds, batch_size=4, num_shards=2, shard_index=1, seed=0)
+        b0 = next(iter(dl0))
+        b1 = next(iter(dl1))
+        assert b0["hr"].shape == (2, 2, 16, 16, 3)
+        assert not np.allclose(b0["hr"], b1["hr"])
+
+    def test_loader_epoch_reshuffle(self):
+        ds = SyntheticVSR(num_videos=8, seq=2, height=16, width=16, scale=4)
+        dl = DataLoader(ds, batch_size=8, num_workers=2, seed=0)
+        dl.set_epoch(0)
+        a = next(iter(dl))["hr"]
+        dl.set_epoch(1)
+        b = next(iter(dl))["hr"]
+        assert not np.allclose(a, b)
+
+
+class TestLogger:
+    def test_jsonl_logger(self, tmp_path, rng):
+        from vsrlab_tpu.core.loggers import JsonlLogger
+
+        lg = JsonlLogger(save_dir=str(tmp_path), project="p", id="run1")
+        lg.log_dict({"PSNR": 30.0}, epoch=1, stage="Train")
+        lg.log_images(1, "Val", sr=rng.random((1, 2, 8, 8, 3)).astype(np.float32))
+        lg.log_flow(1, "Train", flow=rng.random((1, 8, 8, 2)).astype(np.float32))
+        lg.save("/tmp/ckpt")
+        lg.close()
+        lines = [
+            json.loads(l)
+            for l in (tmp_path / "p" / "run1" / "metrics.jsonl").read_text().splitlines()
+        ]
+        assert any(l.get("PSNR/Train") == 30.0 for l in lines)
+        media = list((tmp_path / "p" / "run1" / "media").glob("*.png"))
+        assert len(media) == 2

@@ -1,0 +1,69 @@
+"""Component registry: maps config ``_target_`` names to implementations.
+
+Importing this module populates :data:`vsrlab_tpu.core.config.REGISTRY`
+with every instantiable component (models, datasets, optimizers,
+schedules, loggers) — the registry-based replacement for hydra's
+import-by-string ``_target_`` resolution (reference
+src/core/utils.py:92-233).
+"""
+
+from __future__ import annotations
+
+import optax
+
+from vsrlab_tpu.core import schedulers
+from vsrlab_tpu.core.config import register
+from vsrlab_tpu.core.loggers import JsonlLogger, WandbLogger, build_logger
+from vsrlab_tpu.data import DatasetVSR, SyntheticVSR, ValDatasetVSR
+from vsrlab_tpu.models import (
+    BasicVSR,
+    RealBasicVSR,
+    SpyNet,
+    UNetDiscriminator,
+)
+
+# models
+register("RealBasicVSR", RealBasicVSR)
+register("BasicVSR", BasicVSR)
+register("SpyNet", SpyNet)
+register("UNetDiscriminator", UNetDiscriminator)
+
+# datasets
+register("DatasetVSR", DatasetVSR)
+register("ValDatasetVSR", ValDatasetVSR)
+register("SyntheticVSR", SyntheticVSR)
+register("vsrlab.vsr.dataset.DatasetVSR", DatasetVSR)
+register("vsrlab.vsr.dataset.ValDatasetVSR", ValDatasetVSR)
+
+# loggers
+register("Logger", build_logger)
+register("JsonlLogger", JsonlLogger)
+register("WandbLogger", WandbLogger)
+register("vsrlab.core.loggers.WandbLogger", build_logger)
+
+
+def _adam_factory(**kw):
+    return ("adam", kw)
+
+
+def _adamw_factory(**kw):
+    return ("adamw", kw)
+
+
+def _sgd_factory(**kw):
+    return ("sgd", kw)
+
+
+# optimizers resolve to (name, kwargs) specs; vsrlab_tpu.train.builders
+# combines them with the schedule into one optax chain
+register("adam", _adam_factory)
+register("adamw", _adamw_factory)
+register("sgd", _sgd_factory)
+
+# schedules
+register("cosine", lambda **kw: ("cosine", kw))
+register("cosine_warmup", lambda **kw: ("cosine_warmup", kw))
+register(
+    "vsrlab.core.schedulers.CosineAnnealingLinearWarmup",
+    lambda **kw: ("cosine_warmup", kw),
+)

@@ -1,0 +1,218 @@
+"""Degradation + geometric augmentations on host clips (numpy, cv2).
+
+Capability parity with the reference (src/core/augmentations.py), with
+one deliberate fix: the reference samples random severities at
+CONSTRUCTION time, so every clip in a run gets the same degradation
+(reference :15, :44-46 — SURVEY.md §7.4); here severities are sampled
+per call from a ``numpy.random.Generator``.
+
+Video compression uses OpenCV's FFmpeg backend. This box has MPEG-4
+part-2 codecs (mp4v/XVID) but no libx264, so requested h264/libx264
+codecs fall back to mp4v with the CRF mapped onto the encoder quality
+scale — the purpose (realistic block/ringing codec artifacts) is
+preserved. PyAV is not installed; nothing here depends on it.
+
+All transforms take/return float32 clips ``(T, H, W, C)`` in [0, 1].
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def _to_u8(x: np.ndarray) -> np.ndarray:
+    return np.clip(np.rint(np.clip(x, 0.0, 1.0) * 255.0), 0, 255).astype(np.uint8)
+
+
+def _to_f32(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.float32) / 255.0
+
+
+class RandomJPEGCompression:
+    """JPEG encode/decode round-trip at a quality sampled per call
+    (reference :12-39, severity-sampling bug fixed)."""
+
+    def __init__(self, quality: Sequence[int] = (30, 95)):
+        self.quality = tuple(quality)
+
+    def __call__(self, clip: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if not _HAS_CV2:
+            return clip
+        q = (
+            int(rng.integers(self.quality[0], self.quality[1] + 1))
+            if len(self.quality) == 2
+            else int(self.quality[0])
+        )
+        out = []
+        for frame in clip:
+            u8 = _to_u8(frame)[..., ::-1]  # RGB -> BGR
+            ok, buf = cv2.imencode(".jpg", u8, [cv2.IMWRITE_JPEG_QUALITY, q])
+            dec = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            out.append(_to_f32(dec[..., ::-1]))
+        return np.stack(out)
+
+
+class RandomVideoCompression:
+    """Video-codec encode/decode round-trip (reference :41-71).
+
+    codec/crf/fps sampled per call; crf maps to the mp4v quality scale
+    when H.264 is unavailable (lower crf = higher quality).
+    """
+
+    def __init__(
+        self,
+        codec: Sequence[str] = ("libx264",),
+        crf: Sequence[int] = (18, 35),
+        fps: Sequence[int] = (10, 30),
+    ):
+        self.codec = tuple(codec)
+        self.crf = tuple(crf)
+        self.fps = tuple(fps)
+
+    @staticmethod
+    def _sample(rng, rng_or_choices):
+        vals = tuple(rng_or_choices)
+        if len(vals) == 2 and all(isinstance(v, (int, np.integer)) for v in vals):
+            return int(rng.integers(vals[0], vals[1] + 1))
+        return vals[int(rng.integers(len(vals)))]
+
+    def __call__(self, clip: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if not _HAS_CV2:
+            return clip
+        crf = self._sample(rng, self.crf)
+        fps = self._sample(rng, self.fps)
+        t, h, w, _ = clip.shape
+
+        path = tempfile.mktemp(suffix=".mp4")
+        try:
+            writer = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), float(fps), (w, h)
+            )
+            if not writer.isOpened():
+                return clip
+            # crf 0 (lossless) .. 51 (worst) -> quality 100 .. 1
+            writer.set(cv2.VIDEOWRITER_PROP_QUALITY, max(1.0, 100.0 - crf * 2.0))
+            for frame in clip:
+                writer.write(_to_u8(frame)[..., ::-1])
+            writer.release()
+
+            frames = []
+            cap = cv2.VideoCapture(path)
+            while True:
+                ok, img = cap.read()
+                if not ok:
+                    break
+                frames.append(_to_f32(img[..., ::-1]))
+            cap.release()
+        finally:
+            if os.path.exists(path):
+                os.remove(path)
+        if len(frames) != t:
+            return clip
+        return np.stack(frames)
+
+
+class RandomCrop:
+    """Random spatial crop of the whole clip."""
+
+    def __init__(self, size: int | Sequence[int]):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+    def __call__(self, clip: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        th, tw = self.size
+        t, h, w, c = clip.shape
+        y = int(rng.integers(0, max(h - th, 0) + 1))
+        x = int(rng.integers(0, max(w - tw, 0) + 1))
+        return clip[:, y : y + th, x : x + tw]
+
+
+class RandomFlip:
+    """Random horizontal/vertical flip (whole clip jointly)."""
+
+    def __init__(self, horizontal: bool = True, vertical: bool = False, p: float = 0.5):
+        self.horizontal = horizontal
+        self.vertical = vertical
+        self.p = p
+
+    def __call__(self, clip: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if self.horizontal and rng.random() < self.p:
+            clip = clip[:, :, ::-1]
+        if self.vertical and rng.random() < self.p:
+            clip = clip[:, ::-1]
+        return np.ascontiguousarray(clip)
+
+
+class Mirroring:
+    """Temporal reflect-extend: concat(clip, reversed(clip))
+    (reference :117-125)."""
+
+    def __call__(self, clip: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        return np.concatenate([clip, clip[::-1]], axis=0)
+
+
+class Resize:
+    """Bicubic resize of every frame (host-side, cv2)."""
+
+    def __init__(self, size: Sequence[int] | None = None, scale: float | None = None):
+        self.size = tuple(size) if size else None
+        self.scale = scale
+
+    def __call__(self, clip: np.ndarray, rng=None) -> np.ndarray:
+        t, h, w, c = clip.shape
+        if self.size:
+            th, tw = self.size
+        else:
+            th, tw = int(round(h * self.scale)), int(round(w * self.scale))
+        out = [
+            cv2.resize(f, (tw, th), interpolation=cv2.INTER_CUBIC) for f in clip
+        ]
+        return np.clip(np.stack(out), 0.0, 1.0)
+
+
+_AUG_REGISTRY = {
+    "RandomJPEGCompression": RandomJPEGCompression,
+    "RandomVideoCompression": RandomVideoCompression,
+    "RandomCrop": RandomCrop,
+    "RandomFlip": RandomFlip,
+    "Mirroring": Mirroring,
+    "Resize": Resize,
+    # reference target strings, for config compatibility
+    "vsrlab.core.augmentations.RandomJPEGCompression": RandomJPEGCompression,
+    "vsrlab.core.augmentations.RandomVideoCompression": RandomVideoCompression,
+    "vsrlab.core.augmentations.Mirroring": Mirroring,
+}
+
+
+def build_pipeline(specs: Optional[Sequence]) -> Optional[Callable]:
+    """Build a composed transform from a list of ``{_target_: ...}`` specs
+    (the reference's ``build_transform``, src/core/utils.py)."""
+    if not specs:
+        return None
+    stages: List[Callable] = []
+    for spec in specs:
+        if callable(spec):
+            stages.append(spec)
+            continue
+        spec = dict(spec)
+        target = spec.pop("_target_")
+        name = target.rsplit(".", 1)[-1] if target not in _AUG_REGISTRY else target
+        cls = _AUG_REGISTRY.get(target) or _AUG_REGISTRY[name]
+        stages.append(cls(**{k: v for k, v in spec.items() if not k.startswith("_")}))
+
+    def pipeline(clip: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        for stage in stages:
+            clip = stage(clip, rng)
+        return clip
+
+    return pipeline

@@ -1,0 +1,159 @@
+"""Supervised VSR trainer CLI.
+
+The TPU-native rebuild of ``python train.py +experiment=basic``
+(reference src/train.py:52-130):
+
+* config composed from ``conf/`` with experiment overlays and dotted
+  overrides (``python -m vsrlab_tpu.train.train +experiment=synthetic``);
+* one jitted SPMD train step (forward + cleaning loss + grad-accum +
+  clip + update + on-device metrics) over a ``data`` mesh axis;
+* per-epoch eval, JSONL/wandb logging, orbax checkpoints with
+  restore / restore_opt / finetune semantics;
+* process-0 gating for logging and checkpoint side effects.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vsrlab_tpu.components  # noqa: F401  (populates the registry)
+from vsrlab_tpu.core.checkpoint import CheckpointManager
+from vsrlab_tpu.core.config import Config, load_config
+from vsrlab_tpu.core.loggers import build_logger
+from vsrlab_tpu.parallel import create_mesh, process_index, replicated, shard_batch
+from vsrlab_tpu.train.builders import build_loaders, build_model, build_tx
+from vsrlab_tpu.train.state import create_train_state
+from vsrlab_tpu.train.step import make_eval_step, make_supervised_train_step
+
+
+def _mean_metrics(sums: Dict[str, float], count: int) -> Dict[str, float]:
+    return {k: v / max(count, 1) for k, v in sums.items()}
+
+
+def _accumulate(sums: Dict[str, float], metrics) -> Dict[str, float]:
+    for k, v in metrics.items():
+        sums[k] = sums.get(k, 0.0) + float(v)
+    return sums
+
+
+def run(cfg: Config) -> Dict[str, float]:
+    """Train per config; returns final val metrics (for tests)."""
+    seed = int(cfg.get("seed_index") or 0)
+    rng = jax.random.PRNGKey(seed)
+
+    tcfg = cfg.train
+    mesh = create_mesh() if tcfg.get("ddp", True) else create_mesh(1)
+    n_data = mesh.shape["data"]
+
+    model = build_model(tcfg.model, tcfg.get("precision", "fp32"))
+    tx = build_tx(
+        tcfg.optimizer, tcfg.get("scheduler"), tcfg.get("gradient_clip_val")
+    )
+
+    num_grad_acc = int(tcfg.get("num_grad_acc", 1))
+    train_dl, val_dl = build_loaders(
+        tcfg.data,
+        num_grad_acc=num_grad_acc,
+        device_put=lambda b: shard_batch(b, mesh),
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
+    )
+
+    # example input from the dataset's first sample (shapes only)
+    lr0, _ = train_dl.dataset[0]
+    example = jnp.zeros((1,) + lr0.shape, jnp.float32)
+    state = create_train_state(model, rng, example, tx)
+
+    # restore / finetune (reference src/core/utils.py:106-135)
+    start_epoch = 0
+    ckpt_dir = tcfg.get("checkpoint_dir", "./checkpoints")
+    ckpt = CheckpointManager(ckpt_dir)
+    if tcfg.get("restore"):
+        src = CheckpointManager(tcfg.restore) if tcfg.restore != ckpt_dir else ckpt
+        epoch, payload = src.restore(
+            template={"params": state.params, "opt_state": state.opt_state}
+        )
+        state = state.replace(params=payload["params"])
+        if tcfg.get("restore_opt"):
+            state = state.replace(opt_state=payload["opt_state"], step=epoch)
+            start_epoch = epoch + 1
+        print(f"restored checkpoint @ epoch {epoch} from {tcfg.restore}")
+
+    logger = build_logger(tcfg.get("logger")) if process_index() == 0 else None
+
+    train_step = make_supervised_train_step(model, num_grad_accum=num_grad_acc)
+    eval_step = make_eval_step(model)
+
+    with mesh:
+        state = jax.device_put(state, replicated(mesh))
+        final_val: Dict[str, float] = {}
+        max_epochs = int(tcfg.get("max_epochs", 1))
+        eval_every = int(tcfg.get("eval_every", 1))
+
+        for epoch in range(start_epoch, max_epochs):
+            t0 = time.time()
+            train_dl.set_epoch(epoch)
+            sums: Dict[str, float] = {}
+            nb = 0
+            for batch in train_dl:
+                state, metrics = train_step(state, batch)
+                _accumulate(sums, metrics)
+                nb += 1
+            train_metrics = _mean_metrics(sums, nb)
+            dt = time.time() - t0
+            if logger:
+                logger.log_dict(train_metrics, epoch, "Train")
+            print(
+                f"epoch {epoch}: "
+                + " ".join(f"{k}={v:.4f}" for k, v in train_metrics.items())
+                + f" ({dt:.1f}s, {nb} steps)"
+            )
+
+            if val_dl is not None and (epoch % eval_every == 0 or epoch == max_epochs - 1):
+                vsums: Dict[str, float] = {}
+                vn = 0
+                sr = None
+                val_dl.set_epoch(epoch)
+                for batch in val_dl:
+                    vmetrics, sr = eval_step(state.params, batch)
+                    _accumulate(vsums, vmetrics)
+                    vn += 1
+                if vn:
+                    final_val = _mean_metrics(vsums, vn)
+                    if logger:
+                        logger.log_dict(final_val, epoch, "Val")
+                        logger.log_images(epoch, "Val", sr=np.asarray(sr[:1]))
+                    print(
+                        f"  val: "
+                        + " ".join(f"{k}={v:.4f}" for k, v in final_val.items())
+                    )
+                if process_index() == 0:
+                    ckpt.save(
+                        epoch,
+                        jax.device_get(state.params),
+                        jax.device_get(state.opt_state),
+                        config=cfg.to_dict(),
+                    )
+                    if logger:
+                        logger.save(ckpt.directory)
+
+    if logger:
+        logger.close()
+    ckpt.close()
+    return final_val
+
+
+def main(argv=None):
+    overrides = list(sys.argv[1:] if argv is None else argv)
+    cfg = load_config(overrides=overrides)
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()
