@@ -16,9 +16,11 @@ from vsrlab_tpu.core.config import register
 from vsrlab_tpu.core.loggers import JsonlLogger, WandbLogger, build_logger
 from vsrlab_tpu.data import DatasetVSR, SyntheticVSR, ValDatasetVSR
 from vsrlab_tpu.models import (
+    VRT,
     BasicVSR,
     RealBasicVSR,
     SpyNet,
+    TinyVRT,
     UNetDiscriminator,
 )
 
@@ -27,6 +29,8 @@ register("RealBasicVSR", RealBasicVSR)
 register("BasicVSR", BasicVSR)
 register("SpyNet", SpyNet)
 register("UNetDiscriminator", UNetDiscriminator)
+register("VRT", VRT)
+register("TinyVRT", TinyVRT)
 
 # datasets
 register("DatasetVSR", DatasetVSR)

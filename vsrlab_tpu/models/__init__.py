@@ -9,6 +9,7 @@ from vsrlab_tpu.models.spynet import SpyNet, SpyNetBasicModule
 from vsrlab_tpu.models.basicvsr import BasicVSR
 from vsrlab_tpu.models.realbasicvsr import RealBasicVSR
 from vsrlab_tpu.models.unet_discriminator import UNetDiscriminator
+from vsrlab_tpu.models.vrt import VRT, TinyVRT
 
 __all__ = [
     "SpyNet",
@@ -16,4 +17,6 @@ __all__ = [
     "BasicVSR",
     "RealBasicVSR",
     "UNetDiscriminator",
+    "VRT",
+    "TinyVRT",
 ]

@@ -1,0 +1,249 @@
+"""3-D shifted-window attention with mutual attention (Flax).
+
+Capability parity with the reference WindowAttention
+(src/vsr/models/VRT/modules/window_attention.py:9-238), TPU-first:
+
+* window partition/reverse are pure reshapes/transposes XLA folds away;
+* the shift mask is computed once per (padded shape, window, shift) in
+  numpy at TRACE time and baked into the program as a constant — the
+  analogue of the reference's ``@lru_cache compute_mask``;
+* self-attention and both mutual-attention directions run as batched
+  einsum matmuls over all windows at once (MXU-shaped);
+* mutual attention splits each temporal-window-2 token block into its
+  two frames and cross-attends them both ways (reference :138-167).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, reduce
+from operator import mul
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+_linear_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def _bias_init(fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in) if fan_in else 0.0
+
+    def init(key, shape, dtype):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _dense(features: int, in_features: int, use_bias: bool = True, dtype=None, name=None):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=_linear_init,
+        bias_init=_bias_init(in_features),
+        dtype=dtype,
+        name=name,
+    )
+
+
+def window_partition(x: jnp.ndarray, window_size: Sequence[int]) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B*nW, wd*wh*ww, C) (reference :10-23)."""
+    b, d, h, w, c = x.shape
+    wd, wh, ww = window_size
+    x = x.reshape(b, d // wd, wd, h // wh, wh, w // ww, ww, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, wd * wh * ww, c)
+
+
+def window_reverse(
+    windows: jnp.ndarray, window_size: Sequence[int], b: int, d: int, h: int, w: int
+) -> jnp.ndarray:
+    """Inverse of :func:`window_partition` (reference :25-41)."""
+    wd, wh, ww = window_size
+    x = windows.reshape(b, d // wd, h // wh, w // ww, wd, wh, ww, -1)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, d, h, w, -1)
+
+
+def get_window_size(
+    x_size: Sequence[int],
+    window_size: Sequence[int],
+    shift_size: Optional[Sequence[int]] = None,
+):
+    """Shrink window (and zero shift) along dims where input ≤ window
+    (reference :43-58)."""
+    ws = list(window_size)
+    ss = list(shift_size) if shift_size is not None else None
+    for i, xs in enumerate(x_size):
+        if xs <= window_size[i]:
+            ws[i] = xs
+            if ss is not None:
+                ss[i] = 0
+    if ss is None:
+        return tuple(ws)
+    return tuple(ws), tuple(ss)
+
+
+@lru_cache(maxsize=64)
+def compute_mask(
+    dp: int, hp: int, wp: int, window_size: Tuple[int, ...], shift_size: Tuple[int, ...]
+) -> np.ndarray:
+    """Shift-attention mask (nW, N, N) with 0 / -100 entries
+    (reference :60-77). Pure numpy: evaluated once per static shape at
+    trace time and embedded as an XLA constant."""
+    ws, ss = window_size, shift_size
+    img = np.zeros((dp, hp, wp), np.int32)
+    cnt = 0
+    for d in (slice(-ws[0]), slice(-ws[0], -ss[0] or None), slice(-ss[0] or dp, None)):
+        for h in (slice(-ws[1]), slice(-ws[1], -ss[1] or None), slice(-ss[1] or hp, None)):
+            for w in (slice(-ws[2]), slice(-ws[2], -ss[2] or None), slice(-ss[2] or wp, None)):
+                img[d, h, w] = cnt
+                cnt += 1
+    # partition into windows
+    img = img.reshape(dp // ws[0], ws[0], hp // ws[1], ws[1], wp // ws[2], ws[2])
+    img = img.transpose(0, 2, 4, 1, 3, 5).reshape(-1, reduce(mul, ws))
+    diff = img[:, None, :] - img[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+@lru_cache(maxsize=32)
+def relative_position_index(window_size: Tuple[int, ...]) -> np.ndarray:
+    """(N, N) index into the relative-position bias table
+    (reference :190-209). numpy, trace-time constant."""
+    wd, wh, ww = window_size
+    coords = np.stack(
+        np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(3, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # 3, N, N
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[..., 0] += wd - 1
+    rel[..., 1] += wh - 1
+    rel[..., 2] += ww - 1
+    rel[..., 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[..., 1] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+@lru_cache(maxsize=32)
+def sine_position_encoding(
+    hw: Tuple[int, int], num_pos_feats: int, temperature: float = 10000.0
+) -> np.ndarray:
+    """Normalised 2-D sine encoding, (1, H*W, 2*num_pos_feats)
+    (reference :211-238, normalize=True)."""
+    h, w = hw
+    scale = 2 * math.pi
+    y = np.cumsum(np.ones((h, w)), 0)
+    x = np.cumsum(np.ones((h, w)), 1)
+    eps = 1e-6
+    y = y / (y[-1:, :] + eps) * scale
+    x = x / (x[:, -1:] + eps) * scale
+    dim_t = np.arange(num_pos_feats, dtype=np.float64)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    px = x[:, :, None] / dim_t
+    py = y[:, :, None] / dim_t
+    px = np.stack([np.sin(px[..., 0::2]), np.cos(px[..., 1::2])], -1).reshape(h, w, -1)
+    py = np.stack([np.sin(py[..., 0::2]), np.cos(py[..., 1::2])], -1).reshape(h, w, -1)
+    pos = np.concatenate([py, px], -1)  # (H, W, C)
+    return pos.reshape(1, h * w, -1).astype(np.float32)
+
+
+class MlpGEGLU(nn.Module):
+    """Gated-GELU MLP: act(fc11(x)) * fc12(x) -> fc2 (reference :79-98)."""
+
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        gate = _dense(self.hidden_features, in_f, dtype=self.dtype, name="fc11")(x)
+        val = _dense(self.hidden_features, in_f, dtype=self.dtype, name="fc12")(x)
+        h = nn.gelu(gate, approximate=False) * val
+        return _dense(self.out_features, self.hidden_features, dtype=self.dtype, name="fc2")(h)
+
+
+class WindowAttention(nn.Module):
+    """Multi-head self attention (+ optional mutual attention) within
+    windows. Input ``x``: (B*nW, N, C); ``mask``: (nW, N, N) or None."""
+
+    dim: int
+    window_size: Tuple[int, int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    mut_attn: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        b_, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        scale = self.qk_scale or hd**-0.5
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            jax.nn.initializers.truncated_normal(0.02 / 0.87962566),
+            (
+                (2 * self.window_size[0] - 1)
+                * (2 * self.window_size[1] - 1)
+                * (2 * self.window_size[2] - 1),
+                nh,
+            ),
+            jnp.float32,
+        )
+        rpi = jnp.asarray(relative_position_index(tuple(self.window_size)))
+
+        def heads(t):
+            return t.reshape(b_, -1, nh, hd).transpose(0, 2, 1, 3)  # B_, nH, N, hd
+
+        def attention(q, k, v, with_bias: bool):
+            nq = q.shape[2]
+            attn = jnp.einsum(
+                "bhqd,bhkd->bhqk", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            if with_bias:
+                rel = bias_table[rpi[:nq, :nq].reshape(-1)].reshape(nq, nq, nh)
+                attn = attn + rel.transpose(2, 0, 1)[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(b_ // nw, nw, nh, nq, nq) + mask[:, :nq, :nq].astype(attn.dtype)[None, :, None]
+                attn = attn.reshape(b_, nh, nq, nq)
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            return out.transpose(0, 2, 1, 3).reshape(b_, nq, -1)
+
+        # self attention with relative-position bias
+        qkv = _dense(3 * c, c, self.qkv_bias, self.dtype, "qkv_self")(x)
+        q, k, v = (heads(t) for t in jnp.split(qkv, 3, axis=-1))
+        x_out = attention(q, k, v, with_bias=True)
+
+        if self.mut_attn:
+            # sine-encoded mutual attention between the two temporal halves
+            pos = jnp.asarray(
+                sine_position_encoding(
+                    (self.window_size[1], self.window_size[2]), c // 2
+                )
+            )
+            pos2 = jnp.tile(pos, (1, 2, 1)).astype(x.dtype)
+            qkv_m = _dense(3 * c, c, self.qkv_bias, self.dtype, "qkv_mut")(x + pos2)
+            qm, km, vm = (heads(t) for t in jnp.split(qkv_m, 3, axis=-1))
+            half = n // 2
+            (q1, q2) = qm[:, :, :half], qm[:, :, half:]
+            (k1, k2) = km[:, :, :half], km[:, :, half:]
+            (v1, v2) = vm[:, :, :half], vm[:, :, half:]
+            x1_aligned = attention(q2, k1, v1, with_bias=False)
+            x2_aligned = attention(q1, k2, v2, with_bias=False)
+            x_out = jnp.concatenate(
+                [jnp.concatenate([x1_aligned, x2_aligned], axis=1), x_out],
+                axis=-1,
+            )
+            return _dense(c, 2 * c, True, self.dtype, "proj")(x_out)
+
+        return _dense(c, c, True, self.dtype, "proj")(x_out)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from vsrlab_tpu.ops.warp import grid_sample
+from vsrlab_tpu.ops.warp import sample_pixel_coords
 
 
 def deform_conv2d(
@@ -67,34 +67,31 @@ def deform_conv2d(
     ys = jnp.arange(ho, dtype=compute_dtype)[:, None] * stride - padding
     xs = jnp.arange(wo, dtype=compute_dtype)[None, :] * stride - padding
 
-    # Split channels into offset groups once.
-    xg = x.reshape(n, h, w, groups, cg)
+    # Fold offset groups into the batch axis so each tap is ONE dense
+    # gather of shape (N*G, Ho, Wo, Cg) — no per-group Python loop (VRT
+    # uses G=16, which would otherwise emit 9*16 tiny gathers).
+    xg = (
+        x.reshape(n, h, w, groups, cg)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(n * groups, h, w, cg)
+        .astype(compute_dtype)
+    )
+    off_b = off.transpose(0, 3, 1, 2, 4, 5).reshape(n * groups, ho, wo, taps, 2)
+    if mask is not None:
+        m_b = m.transpose(0, 3, 1, 2, 4).reshape(n * groups, ho, wo, taps)
 
     sampled_taps = []
     for k in range(taps):
         ky, kx = divmod(k, kw)
-        base_y = ys + ky * dilation  # (Ho, 1)
-        base_x = xs + kx * dilation  # (1, Wo)
-        per_group = []
-        for g in range(groups):
-            py = base_y[None] + off[:, :, :, g, k, 0]  # (N, Ho, Wo)
-            px = base_x[None] + off[:, :, :, g, k, 1]
-            # torchvision samples with zeros padding, align_corners=True math
-            # on raw pixel coords; convert to normalized grid for grid_sample.
-            gx = 2.0 * px / max(w - 1, 1) - 1.0
-            gy = 2.0 * py / max(h - 1, 1) - 1.0
-            grid = jnp.stack([gx, gy], axis=-1)
-            s = grid_sample(
-                xg[:, :, :, g, :].astype(compute_dtype),
-                grid,
-                mode="bilinear",
-                padding_mode="zeros",
-                align_corners=True,
-            )  # (N, Ho, Wo, Cg)
-            if mask is not None:
-                s = s * m[:, :, :, g, k][..., None]
-            per_group.append(s)
-        sampled_taps.append(jnp.concatenate(per_group, axis=-1))  # (N,Ho,Wo,Cin)
+        py = (ys + ky * dilation)[None] + off_b[..., k, 0]  # (N*G, Ho, Wo)
+        px = (xs + kx * dilation)[None] + off_b[..., k, 1]
+        s = sample_pixel_coords(
+            xg, px, py, mode="bilinear", padding_mode="zeros"
+        )  # (N*G, Ho, Wo, Cg)
+        if mask is not None:
+            s = s * m_b[..., k][..., None]
+        s = s.reshape(n, groups, ho, wo, cg).transpose(0, 2, 3, 1, 4)
+        sampled_taps.append(s.reshape(n, ho, wo, cin))
 
     # (N, Ho, Wo, taps*Cin) @ (taps*Cin, Cout): one MXU matmul.
     cols = jnp.concatenate(sampled_taps, axis=-1)
