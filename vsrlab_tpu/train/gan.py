@@ -1,0 +1,243 @@
+"""GAN fine-tuning trainer (generator + UNet discriminator).
+
+Capability parity with the reference ``train_gan.py``:
+
+* generator step (reference :35-47): pixel (Charbonnier sr/hr + cleaning
+  branch) + VGG perceptual + adversarial ``BCE(D(sr), 1)·w`` losses;
+* discriminator step (reference :49-58): ``BCE(D(hr), 1) + BCE(D(sr⊥), 0)``
+  on flattened frames, spectral-norm power-iteration state updated;
+* the generator is frozen until ``epoch > freeze_epochs`` (reference
+  :115-117) — two jit specialisations, not a traced branch;
+* dual optimizers/schedulers from the ``gan_adam``/``gan_cosine`` groups.
+
+Both networks update inside ONE jitted step per epoch-phase; everything
+else (loaders, logging, checkpoints, mesh) is shared with the supervised
+trainer.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vsrlab_tpu.components  # noqa: F401
+from vsrlab_tpu.core.checkpoint import CheckpointManager
+from vsrlab_tpu.core.config import Config, instantiate, load_config
+from vsrlab_tpu.core.loggers import build_logger
+from vsrlab_tpu.core.losses import adversarial_loss, charbonnier_loss
+from vsrlab_tpu.core.perceptual import PerceptualLoss
+from vsrlab_tpu.parallel import create_mesh, process_index, replicated, shard_batch
+from vsrlab_tpu.train.builders import build_loaders, build_model, build_tx
+from vsrlab_tpu.train.state import TrainState, create_train_state
+from vsrlab_tpu.train.step import (
+    _resize_clip_to,
+    default_metrics,
+    make_eval_step,
+)
+from vsrlab_tpu.train.train import _accumulate, _mean_metrics
+
+
+def make_gan_train_step(
+    model,
+    discriminator,
+    perceptual_loss,
+    adv_weight: float = 2e-5,
+    update_generator: bool = True,
+    donate: bool = True,
+):
+    """One jitted step updating generator (optionally) and discriminator."""
+
+    def frames(clip):
+        return clip.reshape((-1,) + clip.shape[2:])
+
+    def g_loss_fn(g_params, d_vars, lr, hr):
+        sr, lq = model.apply({"params": g_params}, lr)
+        pixel = charbonnier_loss(sr, hr) + charbonnier_loss(
+            lq, _resize_clip_to(hr, lq)
+        )
+        logits_sr = discriminator.apply(d_vars, frames(sr))
+        adv = adversarial_loss(logits_sr, 1.0, is_disc=False, weight=adv_weight)
+        perc = (
+            perceptual_loss(sr, hr)
+            if perceptual_loss is not None
+            else jnp.zeros((), jnp.float32)
+        )
+        total = pixel + perc + adv
+        return total, {"sr": sr, "PixelLoss": pixel, "PerceptualLoss": perc,
+                       "AdversarialLoss": adv}
+
+    def d_loss_fn(d_params, d_stats, sr, hr):
+        variables = {"params": d_params, "batch_stats": d_stats}
+        logits_hr, upd = discriminator.apply(
+            variables, frames(hr), update_stats=True, mutable=["batch_stats"]
+        )
+        logits_sr, upd = discriminator.apply(
+            {"params": d_params, "batch_stats": upd["batch_stats"]},
+            frames(jax.lax.stop_gradient(sr)),
+            update_stats=True,
+            mutable=["batch_stats"],
+        )
+        loss = adversarial_loss(logits_hr, 1.0, is_disc=True) + adversarial_loss(
+            logits_sr, 0.0, is_disc=True
+        )
+        return loss, upd["batch_stats"]
+
+    def step(g_state: TrainState, d_state: TrainState, batch):
+        lr, hr = batch["lr"], batch["hr"]
+        d_vars = {"params": d_state.params, "batch_stats": d_state.batch_stats}
+
+        (loss_g, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params, d_vars, lr, hr
+        )
+        if update_generator:
+            g_state = g_state.apply_gradients(grads=g_grads)
+
+        (loss_d, new_stats), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_state.params, d_state.batch_stats, aux["sr"], hr)
+        d_state = d_state.apply_gradients(grads=d_grads)
+        d_state = d_state.replace(batch_stats=new_stats)
+
+        metrics = {
+            "Loss": loss_g,
+            "LossDiscriminator": loss_d,
+            "PixelLoss": aux["PixelLoss"],
+            "PerceptualLoss": aux["PerceptualLoss"],
+            "AdversarialLoss": aux["AdversarialLoss"],
+        }
+        metrics.update(default_metrics(aux["sr"], hr))
+        return g_state, d_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def run(cfg: Config) -> Dict[str, float]:
+    tcfg = cfg.train
+    mesh = create_mesh() if tcfg.get("ddp", True) else create_mesh(1)
+
+    model = build_model(tcfg.model, tcfg.get("precision", "fp32"))
+    discriminator = instantiate(tcfg.discriminator)
+
+    tx_g = build_tx(
+        tcfg.optimizer.generator,
+        tcfg.get("scheduler", {}).get("generator"),
+        tcfg.get("gradient_clip_val"),
+    )
+    tx_d = build_tx(
+        tcfg.optimizer.discriminator,
+        tcfg.get("scheduler", {}).get("discriminator"),
+        tcfg.get("gradient_clip_val"),
+    )
+
+    train_dl, val_dl = build_loaders(
+        tcfg.data,
+        num_grad_acc=int(tcfg.get("num_grad_acc", 1)),
+        device_put=lambda b: shard_batch(b, mesh),
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
+    )
+
+    lr0, hr0 = train_dl.dataset[0]
+    rng = jax.random.PRNGKey(int(cfg.get("seed_index") or 0))
+    g_state = create_train_state(
+        model, rng, jnp.zeros((1,) + lr0.shape, jnp.float32), tx_g
+    )
+    d_state = create_train_state(
+        discriminator,
+        jax.random.fold_in(rng, 1),
+        jnp.zeros((1,) + hr0.shape[1:], jnp.float32),
+        tx_d,
+    )
+
+    # finetune from a supervised checkpoint (reference basic_gan.yaml)
+    if tcfg.get("restore"):
+        src = CheckpointManager(tcfg.restore)
+        epoch, payload = src.restore(
+            template={"params": jax.device_get(g_state.params)}
+        )
+        g_state = g_state.replace(params=payload["params"])
+        print(f"restored generator weights @ epoch {epoch}")
+
+    perceptual = (
+        PerceptualLoss(weight=float(tcfg.perceptual_loss.get("weight", 1e-2)))
+        if tcfg.get("perceptual_loss")
+        else None
+    )
+    adv_weight = float(tcfg.get("adversarial_loss", {}).get("weight", 2e-5))
+    freeze_epochs = int(tcfg.get("freeze_epochs", -1))
+
+    logger = build_logger(tcfg.get("logger")) if process_index() == 0 else None
+    ckpt = CheckpointManager(tcfg.get("checkpoint_dir", "./checkpoints"))
+    eval_step = make_eval_step(model)
+
+    steps = {
+        up: make_gan_train_step(model, discriminator, perceptual, adv_weight, up)
+        for up in (True, False)
+    }
+
+    final_val: Dict[str, float] = {}
+    with mesh:
+        g_state = jax.device_put(g_state, replicated(mesh))
+        d_state = jax.device_put(d_state, replicated(mesh))
+        for epoch in range(int(tcfg.get("max_epochs", 1))):
+            t0 = time.time()
+            train_dl.set_epoch(epoch)
+            step = steps[epoch > freeze_epochs]
+            sums: Dict[str, float] = {}
+            nb = 0
+            for batch in train_dl:
+                g_state, d_state, metrics = step(g_state, d_state, batch)
+                _accumulate(sums, metrics)
+                nb += 1
+            train_metrics = _mean_metrics(sums, nb)
+            if logger:
+                logger.log_dict(train_metrics, epoch, "Train")
+            print(
+                f"epoch {epoch}: "
+                + " ".join(f"{k}={v:.4f}" for k, v in train_metrics.items())
+                + f" ({time.time() - t0:.1f}s)"
+            )
+
+            if val_dl is not None:
+                vsums, vn = {}, 0
+                for batch in val_dl:
+                    vmetrics, _ = eval_step(g_state.params, batch)
+                    _accumulate(vsums, vmetrics)
+                    vn += 1
+                if vn:
+                    final_val = _mean_metrics(vsums, vn)
+                    if logger:
+                        logger.log_dict(final_val, epoch, "Val")
+                    print(
+                        "  val: "
+                        + " ".join(f"{k}={v:.4f}" for k, v in final_val.items())
+                    )
+            if process_index() == 0:
+                ckpt.save(
+                    epoch,
+                    jax.device_get(g_state.params),
+                    jax.device_get(g_state.opt_state),
+                    extra=None,
+                    config=cfg.to_dict(),
+                )
+
+    if logger:
+        logger.close()
+    ckpt.close()
+    return final_val
+
+
+def main(argv=None):
+    overrides = list(sys.argv[1:] if argv is None else argv)
+    cfg = load_config(overrides=overrides)
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()
