@@ -32,6 +32,17 @@ register("UNetDiscriminator", UNetDiscriminator)
 register("VRT", VRT)
 register("TinyVRT", TinyVRT)
 
+from vsrlab_tpu.models.flow import IRRPWCNet, RAFT, SpyNetProgressive  # noqa: E402
+
+register("RAFT", RAFT)
+register("IRRPWCNet", IRRPWCNet)
+register("SpyNetProgressive", SpyNetProgressive)
+
+from vsrlab_tpu.data.flow_dataset import FlowDataset, SyntheticFlowDataset  # noqa: E402
+
+register("FlowDataset", FlowDataset)
+register("SyntheticFlowDataset", SyntheticFlowDataset)
+
 # datasets
 register("DatasetVSR", DatasetVSR)
 register("ValDatasetVSR", ValDatasetVSR)

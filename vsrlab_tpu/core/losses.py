@@ -85,6 +85,60 @@ def compute_loss(
     return loss
 
 
+class OpticalFlowConsistency:
+    """L1 between frozen-RAFT flows of SR and HR clips (reference
+    ``OpticalFlowConsistency``, src/core/losses.py:79-98).
+
+    Holds frozen RAFT-small params (imported from the reference's shipped
+    ``raft-small.pth`` when available, random otherwise) and compares the
+    flow fields of adjacent-frame pairs of the two clips.
+    """
+
+    def __init__(self, weight: float = 1.0, raft_ckpt: Optional[str] = None):
+        import jax
+
+        from vsrlab_tpu.models.flow import RAFT, load_torch_raft
+
+        self.weight = float(weight)
+        self.model = RAFT(small=True, scale_factor=8)
+        params = None
+        ckpt = raft_ckpt or "/root/reference/src/optical_flow/weights/raft-small.pth"
+        try:
+            import os
+
+            if os.path.exists(ckpt):
+                import torch
+
+                params = load_torch_raft(
+                    torch.load(ckpt, map_location="cpu"), small=True
+                )
+        except Exception:
+            params = None
+        if params is None:
+            dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+            params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0), dummy, dummy
+            )["params"]
+        self.params = jax.lax.stop_gradient(params)
+
+    def _flows(self, clip):
+        import jax
+
+        b, t, h, w, c = clip.shape
+        img1 = clip[:, :-1].reshape(-1, h, w, c)
+        img2 = clip[:, 1:].reshape(-1, h, w, c)
+        return self.model.apply(
+            {"params": jax.lax.stop_gradient(self.params)}, img2, img1
+        )
+
+    def __call__(self, sr: jnp.ndarray, hr: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        flow_sr = self._flows(sr)
+        flow_hr = jax.lax.stop_gradient(self._flows(hr))
+        return l1_loss(flow_sr, flow_hr) * self.weight
+
+
 class LossPipeline:
     """Config-driven multi-loss graph (reference ``LossPipeline``,
     src/core/losses.py:100-173).
