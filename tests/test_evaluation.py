@@ -1,0 +1,126 @@
+"""Eval harness + params bench tests (synthetic test matrix on disk)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from vsrlab_tpu.core.checkpoint import CheckpointManager
+from vsrlab_tpu.data.datasets import SyntheticVSR
+from vsrlab_tpu.evaluation.harness import (
+    get_video,
+    load_test_model,
+    run_test_matrix,
+    windowed_inference,
+)
+from vsrlab_tpu.evaluation.params_bench import param_count, speed_bench
+from vsrlab_tpu.models import RealBasicVSR
+from vsrlab_tpu.parallel import create_mesh
+from vsrlab_tpu.train.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    """A trained-model run directory: config snapshot + orbax checkpoint."""
+    d = tmp_path_factory.mktemp("run")
+    model = RealBasicVSR(mid_channels=8, res_blocks=1, cleaning_blocks=1)
+    lr = jnp.zeros((1, 2, 8, 8, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), lr, optax.adam(1e-4))
+    cfg = {
+        "train": {
+            "model": {
+                "_target_": "RealBasicVSR",
+                "mid_channels": 8,
+                "res_blocks": 1,
+                "cleaning_blocks": 1,
+            },
+            "precision": "fp32",
+        }
+    }
+    mgr = CheckpointManager(str(d))
+    mgr.save(0, jax.device_get(state.params), config=cfg)
+    mgr.close()
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def test_matrix(tmp_path_factory):
+    """<root>/{lr,hr}/fps=F_crf=C/{frames,video}/<video>/ tiny matrix."""
+    root = tmp_path_factory.mktemp("matrix")
+    ds = SyntheticVSR(num_videos=1, seq=5, height=32, width=32, scale=4)
+    lr_clip, hr_clip = ds[0]
+
+    def write(base, clip):
+        frames_dir = base / "frames" / "vid0"
+        video_dir = base / "video"
+        frames_dir.mkdir(parents=True)
+        video_dir.mkdir(parents=True)
+        for i, f in enumerate(clip):
+            u8 = (np.clip(f, 0, 1) * 255).round().astype(np.uint8)
+            cv2.imwrite(str(frames_dir / f"{i:05d}.png"), u8[..., ::-1])
+        # encoded file only needed for its size
+        (video_dir / "vid0").write_bytes(b"x" * 1000)
+
+    write(root / "lr" / "fps=6_crf=30", lr_clip)
+    write(root / "hr" / "fps=6_crf=5", hr_clip)
+    return root
+
+
+class TestHarness:
+    def test_load_test_model(self, run_dir):
+        model, params, cfg = load_test_model(run_dir)
+        assert model.mid_channels == 8
+        assert param_count(params) > 0
+
+    def test_windowed_inference_restitch(self, run_dir, rng):
+        model, params, _ = load_test_model(run_dir)
+        forward = jax.jit(lambda p, x: model.apply({"params": p}, x))
+        video = rng.random((1, 5, 8, 8, 3)).astype(np.float32)
+        sr, n_windows = windowed_inference(forward, params, video, window_size=2)
+        assert n_windows == 3  # 5 frames / window 2, padded
+        assert sr.shape == (1, 5, 32, 32, 3)
+
+    def test_windowed_inference_time_sharded(self, run_dir, rng):
+        """Window batch sharded over the mesh time axis == unsharded."""
+        model, params, _ = load_test_model(run_dir)
+        forward = jax.jit(lambda p, x: model.apply({"params": p}, x))
+        video = rng.random((1, 8, 8, 8, 3)).astype(np.float32)
+        sr_plain, _ = windowed_inference(forward, params, video, 2)
+        mesh = create_mesh({"data": 4, "time": 2})
+        with mesh:
+            sr_shard, _ = windowed_inference(forward, params, video, 2, mesh)
+        np.testing.assert_allclose(
+            np.asarray(sr_plain), np.asarray(sr_shard), atol=1e-5
+        )
+
+    def test_full_matrix_sweep(self, run_dir, test_matrix, tmp_path):
+        df = run_test_matrix(
+            run_dir,
+            str(test_matrix / "lr"),
+            str(test_matrix / "hr"),
+            str(tmp_path / "out"),
+            window_size=3,
+            fps_list=(6,),
+            crf_list=(30,),
+        )
+        assert len(df) == 1
+        row = df.iloc[0]
+        assert np.isfinite(row["PSNR"]) and row["PSNR"] > 0
+        assert 0 <= row["SSIM"] <= 1
+        assert row["cf"] > 0 and row["bpp"] > 0
+        # frames dumped + csv written
+        name = [p.name for p in (tmp_path / "out").iterdir()][0]
+        pngs = list((tmp_path / "out").rglob("*.png"))
+        assert len(pngs) == 5
+        assert list((tmp_path / "out").rglob("*.csv"))
+
+
+class TestParamsBench:
+    def test_speed_bench(self, run_dir):
+        model, params, _ = load_test_model(run_dir)
+        stats = speed_bench(model, params, clip_shape=(1, 2, 8, 8, 3), n_iters=2)
+        assert stats["avg_time"] > 0
+        assert stats["params"] == param_count(params)

@@ -1,0 +1,17 @@
+"""Evaluation harness + parameter/speed benches (reference src/test.py,
+src/params.py)."""
+
+from vsrlab_tpu.evaluation.harness import (
+    load_test_model,
+    windowed_inference,
+    run_test_matrix,
+)
+from vsrlab_tpu.evaluation.params_bench import param_count, speed_bench
+
+__all__ = [
+    "load_test_model",
+    "windowed_inference",
+    "run_test_matrix",
+    "param_count",
+    "speed_bench",
+]

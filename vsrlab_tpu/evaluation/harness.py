@@ -1,0 +1,216 @@
+"""Inference / evaluation harness.
+
+Capability parity with the reference ``src/test.py:65-157``:
+
+* loads a trained model from a checkpoint directory (orbax checkpoint +
+  ``config.yaml`` snapshot — reference build_test_model,
+  src/core/utils.py:156-165, src/test.py:80-82);
+* sweeps a compressed-video test matrix fps ∈ {6,8,10} × crf ∈ {30,32,34};
+* chunks long videos into ``window_size`` windows (reference :124-135) —
+  here the window chunks are STACKED into one batch and sharded over the
+  mesh ``time`` axis, so long-clip inference scales across chips
+  (sequence-parallel capability the reference lacks, SURVEY.md §2.8);
+* computes PSNR/SSIM per window plus compression factor and
+  bits-per-pixel from file sizes (reference :116-121);
+* dumps SR frames as PNGs and writes a per-configuration CSV.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsrlab_tpu.core.checkpoint import CheckpointManager, load_config_snapshot
+from vsrlab_tpu.core.config import Config, instantiate
+from vsrlab_tpu.core.metrics import psnr, ssim
+from vsrlab_tpu.data.datasets import load_frame
+
+
+def load_test_model(cfg_dir: str):
+    """Rebuild the model from a run directory's config snapshot and load
+    the latest checkpoint. Returns (model, params, config)."""
+    import vsrlab_tpu.components  # noqa: F401
+    from vsrlab_tpu.train.builders import build_model
+
+    cfg = Config.from_dict(load_config_snapshot(cfg_dir))
+    model = build_model(cfg.train.model, cfg.train.get("precision", "fp32"))
+    mgr = CheckpointManager(cfg_dir)
+    _, payload = mgr.restore()
+    mgr.close()
+    return model, payload["params"], cfg
+
+
+def get_video(path, pool=None) -> np.ndarray:
+    """Frame folder -> (1, T, H, W, 3) float32 (reference get_video,
+    src/core/utils.py:282-288); decoding is threaded."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    frames = sorted(p for p in Path(path).iterdir() if p.is_file())
+    if pool is None:
+        with ThreadPoolExecutor(8) as pool_:
+            imgs = list(pool_.map(load_frame, frames))
+    else:
+        imgs = list(pool.map(load_frame, frames))
+    return np.stack(imgs)[None]
+
+
+def windowed_inference(
+    forward: Callable,
+    params,
+    video_lr: np.ndarray,
+    window_size: int,
+    mesh=None,
+) -> Tuple[jnp.ndarray, int]:
+    """Chunked long-video inference: split (1, T, H, W, C) into
+    ``window_size`` windows, run them as ONE batch (sharded over the mesh
+    ``time`` axis when given), and restitch. Returns (sr, num_windows).
+    """
+    _, t, h, w, c = video_lr.shape
+    n_windows = -(-t // window_size)
+    pad = n_windows * window_size - t
+    v = np.concatenate(
+        [video_lr, np.repeat(video_lr[:, -1:], pad, axis=1)], axis=1
+    ) if pad else video_lr
+    stacked = v.reshape(n_windows, window_size, h, w, c)
+
+    x = jnp.asarray(stacked)
+    if mesh is not None and "time" in mesh.shape:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # pad window-batch to a multiple of the time-axis size
+        nt = mesh.shape["time"]
+        bpad = (-n_windows) % nt
+        if bpad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], bpad, axis=0)], axis=0)
+        x = jax.device_put(x, NamedSharding(mesh, P("time")))
+
+    sr = forward(params, x)
+    if isinstance(sr, tuple):
+        sr = sr[0]
+    sr = sr[:n_windows]
+    scale = sr.shape[2] // h
+    sr = sr.reshape(1, n_windows * window_size, h * scale, w * scale, -1)
+    return sr[:, :t], n_windows
+
+
+def run_test_matrix(
+    cfg_dir: str,
+    lr_dir: str,
+    hr_dir: str,
+    out_dir: str,
+    window_size: int = 10,
+    fps_list=(6, 8, 10),
+    crf_list=(30, 32, 34),
+    hr_crf: int = 5,
+    metrics=("PSNR", "SSIM"),
+    save_frames: bool = True,
+    mesh=None,
+) -> "pandas.DataFrame":
+    """Full fps×crf evaluation sweep (reference src/test.py:94-155).
+
+    Directory layout (reference convention): ``<lr_dir>/fps=F_crf=C/frames/<video>/``
+    frame folders plus ``.../video/<video>`` encoded files for bitrate stats;
+    HR under ``<hr_dir>/fps=F_crf=5/...``.
+    """
+    import pandas as pd
+
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+
+    model, params, _cfg = load_test_model(cfg_dir)
+    forward = jax.jit(lambda p, x: model.apply({"params": p}, x))
+
+    metric_fns = {"PSNR": psnr, "SSIM": ssim}
+    rows: List[Dict] = []
+    name = Path(cfg_dir).name
+    output_folder = Path(out_dir) / name
+
+    for fps in fps_list:
+        for crf in crf_list:
+            video_folder = Path(lr_dir) / f"fps={fps}_crf={crf}" / "frames"
+            video_paths = sorted(p for p in video_folder.glob("*") if p.is_dir())
+            sums = {k: 0.0 for k in metrics}
+            bpp = cf = 0.0
+            for video_lr_path in video_paths:
+                t0 = time.time()
+                vname = video_lr_path.name
+                video_hr_path = Path(hr_dir) / f"fps={fps}_crf={hr_crf}" / "frames" / vname
+                video_lr = get_video(video_lr_path)
+                video_hr = get_video(video_hr_path)
+                _, f, hh, ww, cc = video_hr.shape
+
+                orig_file = Path(hr_dir) / f"fps={fps}_crf={hr_crf}" / "video" / vname
+                comp_file = Path(lr_dir) / f"fps={fps}_crf={crf}" / "video" / vname
+                if orig_file.exists() and comp_file.exists():
+                    bits_orig = orig_file.stat().st_size * 8
+                    bits_comp = comp_file.stat().st_size * 8
+                    cf += bits_comp / bits_orig
+                    bpp += bits_comp / (cc * hh * ww * f)
+
+                sr, n_windows = windowed_inference(
+                    forward, params, video_lr, window_size, mesh
+                )
+                vmetrics = {
+                    k: float(metric_fns[k](jnp.clip(sr, 0, 1), jnp.asarray(video_hr)))
+                    for k in metrics
+                }
+                for k in metrics:
+                    sums[k] += vmetrics[k]
+
+                if save_frames and cv2 is not None:
+                    save_folder = output_folder / f"fps={fps}_crf={crf}" / vname
+                    save_folder.mkdir(parents=True, exist_ok=True)
+                    frames = np.asarray(jnp.clip(sr[0], 0, 1))
+                    for i, frame in enumerate(frames):
+                        u8 = (frame * 255).round().astype(np.uint8)
+                        cv2.imwrite(
+                            str(save_folder / f"img{i:05d}.png"), u8[..., ::-1]
+                        )
+                print(
+                    f"fps={fps} crf={crf} {vname}: "
+                    + " ".join(f"{k}={v:.3f}" for k, v in vmetrics.items())
+                    + f" ({time.time() - t0:.1f}s)"
+                )
+
+            n = max(len(video_paths), 1)
+            rows.append(
+                {
+                    "cf": cf / n,
+                    "bpp": bpp / n,
+                    "fps": fps,
+                    "crf": crf,
+                    **{k: v / n for k, v in sums.items()},
+                }
+            )
+
+    results = pd.DataFrame(rows)
+    output_folder.mkdir(parents=True, exist_ok=True)
+    results.to_csv(output_folder / f"{name}.csv", index=False)
+    return results
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="fps×crf evaluation sweep")
+    ap.add_argument("--cfg-dir", required=True)
+    ap.add_argument("--lr-dir", required=True)
+    ap.add_argument("--hr-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--window-size", type=int, default=10)
+    args = ap.parse_args(argv)
+    df = run_test_matrix(
+        args.cfg_dir, args.lr_dir, args.hr_dir, args.out_dir, args.window_size
+    )
+    print(df)
+
+
+if __name__ == "__main__":
+    main()
