@@ -54,6 +54,11 @@ class RandomJPEGCompression:
             if len(self.quality) == 2
             else int(self.quality[0])
         )
+        from vsrlab_tpu.data import native
+
+        fast = native.jpeg_degrade(clip, q)
+        if fast is not None:
+            return fast
         out = []
         for frame in clip:
             u8 = _to_u8(frame)[..., ::-1]  # RGB -> BGR

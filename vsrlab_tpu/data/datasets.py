@@ -29,6 +29,7 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_CV2 = False
 
+from vsrlab_tpu.data import native
 from vsrlab_tpu.data.augmentations import build_pipeline
 
 
@@ -40,15 +41,27 @@ def load_frame(path) -> np.ndarray:
     return img[..., ::-1].astype(np.float32) / 255.0
 
 
+def load_clip(paths) -> np.ndarray:
+    """Decode a list of frame files to (T, H, W, 3) float32 — native
+    threaded C++ decode when libvsrio is available, cv2 otherwise."""
+    clip = native.decode_clip(paths)
+    if clip is not None:
+        return clip
+    return np.stack([load_frame(p) for p in paths])
+
+
 def _bicubic_down(clip: np.ndarray, scale: int) -> np.ndarray:
     t, h, w, c = clip.shape
-    out = [
+    out = native.bicubic_resize(clip, h // scale, w // scale)
+    if out is not None:
+        return out
+    frames = [
         cv2.resize(
             f, (w // scale, h // scale), interpolation=cv2.INTER_CUBIC
         )
         for f in clip
     ]
-    return np.clip(np.stack(out), 0.0, 1.0)
+    return np.clip(np.stack(frames), 0.0, 1.0)
 
 
 class DatasetVSR:
@@ -92,7 +105,7 @@ class DatasetVSR:
         rng = self._rng(index)
         frames = sorted(x for x in self.videos[index].glob("*") if x.is_file())
         start = int(rng.integers(0, max(len(frames) - self.seq, 0) + 1))
-        hr = np.stack([load_frame(f) for f in frames[start : start + self.seq]])
+        hr = load_clip(frames[start : start + self.seq])
 
         if self.hr_aug:
             hr = self.hr_aug(hr, rng)
