@@ -182,6 +182,7 @@ class ResidualBlock(nn.Module):
 
     features: int = 64
     blocks: int = 30
+    unroll: int = 4  # scan unroll: ~25% faster on v5e (HBM latency hiding)
     dtype: Dtype = None
 
     @nn.compact
@@ -195,6 +196,7 @@ class ResidualBlock(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.blocks,
+            unroll=min(self.unroll, self.blocks),
         )
         x, _ = scan(
             ResidualConv(self.features, dtype=self.dtype, name="res_blocks"),

@@ -8,8 +8,16 @@ src/vsr/models/VRT/modules/spynet.py:11-63, src/optical_flow/models/raft/utils.p
 
 Implementation: pure XLA gathers over the flattened spatial plane with
 per-corner validity masks — differentiable (scatter-add VJP for free),
-shape-static and fusible. A fused Pallas kernel can be swapped in behind the
-same signature; this version doubles as its numeric oracle.
+shape-static and fusible.
+
+Why this is the TPU-native lowering (and not a Pallas kernel): warping
+needs per-pixel dynamic gathers across the whole (H·W) plane. Mosaic's
+``tpu.dynamic_gather`` only gathers within a single 128-lane vreg
+("Multiple source vregs along gather dimension" otherwise, verified on
+v5e), so an arbitrary-displacement warp is not expressible as a fused
+Pallas kernel today; XLA's gather lowering — which can pick between
+dynamic-slice loops and one-hot-matmul strategies per shape — is the
+fastest available mapping. Revisit when Mosaic grows multi-vreg gathers.
 
 Conventions (channels-last):
   * images ``(N, H, W, C)``
