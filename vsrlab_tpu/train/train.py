@@ -44,8 +44,9 @@ def _accumulate(sums: Dict[str, float], metrics) -> Dict[str, float]:
 
 def run(cfg: Config) -> Dict[str, float]:
     """Train per config; returns final val metrics (for tests)."""
-    seed = int(cfg.get("seed_index") or 0)
-    rng = jax.random.PRNGKey(seed)
+    from vsrlab_tpu.utils import seed_index_everything
+
+    rng = seed_index_everything(cfg)
 
     tcfg = cfg.train
     mesh = create_mesh() if tcfg.get("ddp", True) else create_mesh(1)
