@@ -50,6 +50,28 @@ register("SyntheticVSR", SyntheticVSR)
 register("vsrlab.vsr.dataset.DatasetVSR", DatasetVSR)
 register("vsrlab.vsr.dataset.ValDatasetVSR", ValDatasetVSR)
 
+# losses (config-instantiable; reference conf/train/gan.yaml)
+from vsrlab_tpu.core.losses import (  # noqa: E402
+    LossPipeline,
+    OpticalFlowConsistency,
+    adversarial_loss,
+    charbonnier_loss,
+    epe_loss,
+    l1_loss,
+)
+from vsrlab_tpu.core.perceptual import PerceptualLoss  # noqa: E402
+
+register("PerceptualLoss", PerceptualLoss)
+register("vsrlab.core.losses.PerceptualLoss", PerceptualLoss)
+register("AdversarialLoss", lambda weight=2e-5: lambda x, target, is_disc=False: adversarial_loss(x, target, is_disc, weight))
+register("vsrlab.core.losses.AdversarialLoss", lambda weight=2e-5: lambda x, target, is_disc=False: adversarial_loss(x, target, is_disc, weight))
+register("CharbonnierLoss", lambda eps=1e-9: lambda x, y: charbonnier_loss(x, y, eps))
+register("vsrlab.core.losses.CharbonnierLoss", lambda eps=1e-9: lambda x, y: charbonnier_loss(x, y, eps))
+register("WL1Loss", lambda weight=1.0: lambda x, y: l1_loss(x, y, weight))
+register("EPELoss", lambda: epe_loss)
+register("OpticalFlowConsistency", OpticalFlowConsistency)
+register("LossPipeline", LossPipeline)
+
 # loggers
 register("Logger", build_logger)
 register("JsonlLogger", JsonlLogger)

@@ -14,6 +14,7 @@ Replaces the reference's NCCL/DDP distributed substrate
 from vsrlab_tpu.parallel.mesh import (
     create_mesh,
     batch_sharding,
+    initialize_distributed,
     replicated,
     shard_batch,
     local_batch_slice,
@@ -24,6 +25,7 @@ from vsrlab_tpu.parallel.mesh import (
 __all__ = [
     "create_mesh",
     "batch_sharding",
+    "initialize_distributed",
     "replicated",
     "shard_batch",
     "local_batch_slice",

@@ -20,6 +20,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize()``.
+
+    The TPU-native replacement for the reference's torchrun/mpirun env
+    detection + NCCL rendezvous (src/core/utils.py:32-49). On TPU pods
+    all arguments are auto-detected from the runtime environment; on
+    other platforms pass them explicitly. Safe to call when already
+    initialised (no-op).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialised
+        if "already" not in str(e).lower():
+            raise
+
+
 def create_mesh(
     axes: Union[int, Dict[str, int], None] = None,
     *,
