@@ -67,15 +67,17 @@ class BasicVSR(nn.Module):
     res_blocks: int = 30
     upscale: int = 4
     train_flow: bool = False
+    remat: bool = False  # rematerialise recurrence steps (long-clip training)
     dtype: Dtype = None
 
     def setup(self):
+        cell_cls = nn.remat(_PropagationCell) if self.remat else _PropagationCell
         self.spynet = SpyNet(dtype=self.dtype)
-        self.backward_cell = _PropagationCell(
+        self.backward_cell = cell_cls(
             self.mid_channels, self.res_blocks, dtype=self.dtype,
             name="backward_resblocks",
         )
-        self.forward_cell = _PropagationCell(
+        self.forward_cell = cell_cls(
             self.mid_channels, self.res_blocks, dtype=self.dtype,
             name="forward_resblocks",
         )

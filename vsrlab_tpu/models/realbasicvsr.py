@@ -29,6 +29,7 @@ class RealBasicVSR(nn.Module):
     cleaning_steps: int = 3
     upscale: int = 4
     train_flow: bool = False
+    remat: bool = False
     dtype: Dtype = None
 
     @nn.compact
@@ -46,6 +47,7 @@ class RealBasicVSR(nn.Module):
             self.res_blocks,
             self.upscale,
             self.train_flow,
+            self.remat,
             dtype=self.dtype,
             name="basicvsr",
         )(lq)

@@ -91,6 +91,25 @@ def run(cfg: Config) -> Dict[str, float]:
     train_step = make_supervised_train_step(model, num_grad_accum=num_grad_acc)
     eval_step = make_eval_step(model)
 
+    # exception-safe teardown (reference src/train.py:124-130: cleanup +
+    # wandb.finish on any failure, then re-raise)
+    try:
+        final_val = _train_loop(
+            cfg, mesh, state, train_dl, val_dl, train_step, eval_step,
+            logger, ckpt, start_epoch,
+        )
+    finally:
+        if logger:
+            logger.close()
+        ckpt.close()
+    return final_val
+
+
+def _train_loop(
+    cfg, mesh, state, train_dl, val_dl, train_step, eval_step, logger, ckpt,
+    start_epoch,
+):
+    tcfg = cfg.train
     with mesh:
         state = jax.device_put(state, replicated(mesh))
         final_val: Dict[str, float] = {}
@@ -129,7 +148,15 @@ def run(cfg: Config) -> Dict[str, float]:
                     final_val = _mean_metrics(vsums, vn)
                     if logger:
                         logger.log_dict(final_val, epoch, "Val")
-                        logger.log_images(epoch, "Val", sr=np.asarray(sr[:1]))
+                        # lr/sr/hr grids from the last val batch
+                        # (reference logger.log_images, loggers.py:36-57)
+                        logger.log_images(
+                            epoch,
+                            "Val",
+                            lr=np.asarray(batch["lr"][:1]),
+                            sr=np.asarray(jnp.clip(sr[:1], 0, 1)),
+                            hr=np.asarray(batch["hr"][:1]),
+                        )
                     print(
                         f"  val: "
                         + " ".join(f"{k}={v:.4f}" for k, v in final_val.items())
@@ -144,9 +171,6 @@ def run(cfg: Config) -> Dict[str, float]:
                     if logger:
                         logger.save(ckpt.directory)
 
-    if logger:
-        logger.close()
-    ckpt.close()
     return final_val
 
 
