@@ -129,7 +129,15 @@ class TestShardedTraining:
 
 
 class TestEntryContract:
-    def test_dryrun_multichip(self):
+    @pytest.mark.parametrize("n", [2, 4, 8])
+    def test_dryrun_multichip(self, n):
         import __graft_entry__ as g
 
-        g.dryrun_multichip(8)
+        g.dryrun_multichip(n)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.eval_shape(fn, *args)  # trace-only: shape contract
+        assert out.shape == (1, 6, 256, 256, 3)
