@@ -128,6 +128,29 @@ class TestShardedTraining:
         assert np.isfinite(float(metrics["PSNR"]))
 
 
+class TestTensorParallel:
+    def test_head_sharded_vrt_matches_unsharded(self, rng):
+        """Attention heads sharded over a 'model' axis must not change
+        the output (heads are independent; TP is layout only)."""
+        from vsrlab_tpu.models import TinyVRT
+
+        kw = dict(
+            upscale=4, window_size=(2, 4, 4), depths=(2,) * 7,
+            embed_dims=(8,) * 7, num_heads=(2,) * 7, deformable_groups=2,
+            drop_path_rate=0.0,
+        )
+        plain = TinyVRT(**kw)
+        tp = TinyVRT(**kw, head_shard_axis="model")
+        x = jnp.asarray(rng.random((1, 2, 16, 16, 3)), jnp.float32)
+        variables = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+        want, _ = jax.jit(plain.apply)(variables, x)
+
+        mesh = create_mesh({"data": 4, "model": 2})
+        with jax.set_mesh(mesh):
+            got, _ = jax.jit(tp.apply)(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 class TestEntryContract:
     @pytest.mark.parametrize("n", [2, 4, 8])
     def test_dryrun_multichip(self, n):

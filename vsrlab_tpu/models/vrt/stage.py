@@ -42,6 +42,7 @@ class Stage(nn.Module):
     deformable_groups: int = 16
     reshape: str = "none"
     max_residue_magnitude: float = 10.0
+    head_shard_axis: Optional[str] = None
     dtype: Dtype = None
 
     @nn.compact
@@ -90,6 +91,7 @@ class Stage(nn.Module):
             qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale,
             drop_path=dp_list[:depth1],
+            head_shard_axis=self.head_shard_axis,
             dtype=self.dtype,
             name="residual_group1",
         )(x, deterministic)
@@ -105,6 +107,7 @@ class Stage(nn.Module):
             qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale,
             drop_path=dp_list[depth1:],
+            head_shard_axis=self.head_shard_axis,
             dtype=self.dtype,
             name="residual_group2",
         )(x, deterministic)

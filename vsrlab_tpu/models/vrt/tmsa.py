@@ -61,6 +61,7 @@ class TMSA(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     drop_path: float = 0.0
+    head_shard_axis: Optional[str] = None
     dtype: Dtype = None
 
     @nn.compact
@@ -101,6 +102,7 @@ class TMSA(nn.Module):
             self.qkv_bias,
             self.qk_scale,
             self.mut_attn,
+            head_shard_axis=self.head_shard_axis,
             dtype=self.dtype,
             name="attn",
         )(windows, attn_mask)
@@ -134,6 +136,7 @@ class TMSAG(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     drop_path: Any = 0.0
+    head_shard_axis: Optional[str] = None
     dtype: Dtype = None
 
     @nn.compact
@@ -170,6 +173,7 @@ class TMSAG(nn.Module):
                 qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale,
                 drop_path=float(rate),
+                head_shard_axis=self.head_shard_axis,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, mask, deterministic)
@@ -187,6 +191,7 @@ class RTMSA(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     drop_path: Any = 0.0
+    head_shard_axis: Optional[str] = None
     dtype: Dtype = None
 
     @nn.compact
@@ -201,6 +206,7 @@ class RTMSA(nn.Module):
             qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale,
             drop_path=self.drop_path,
+            head_shard_axis=self.head_shard_axis,
             dtype=self.dtype,
             name="residual_group",
         )(x, deterministic)

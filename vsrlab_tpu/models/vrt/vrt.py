@@ -63,6 +63,7 @@ class _VRTBase(nn.Module):
     optical_flow_train: bool = False
     pa_frames: int = 2
     deformable_groups: int = 16
+    head_shard_axis: Optional[str] = None  # TP: shard attention heads
     dtype: Dtype = None
     # subclass-fixed U-shape
     reshapes: Sequence[str] = ()
@@ -146,6 +147,7 @@ class _VRTBase(nn.Module):
             deformable_groups=self.deformable_groups,
             reshape=self.reshapes[i],
             max_residue_magnitude=10.0 / self.scales[i],
+            head_shard_axis=self.head_shard_axis,
             dtype=self.dtype,
             name=f"stage{i + 1}",
         )
@@ -173,6 +175,7 @@ class _VRTBase(nn.Module):
                 qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale,
                 drop_path=dpr[sum(depths[:i]) : sum(depths[: i + 1])],
+                head_shard_axis=self.head_shard_axis,
                 dtype=self.dtype,
                 name=f"trunk_rtmsa_{i}",
             )(x, deterministic)

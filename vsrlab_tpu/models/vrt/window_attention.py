@@ -177,7 +177,27 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     mut_attn: bool = True
+    # optional tensor parallelism: shard attention heads over this mesh
+    # axis (SURVEY.md §2.8 "optional TP" row). Heads are independent, so
+    # sharding axis 1 of (B_, nH, N, hd) runs each head group on its own
+    # devices with no collectives until the output projection.
+    head_shard_axis: Optional[str] = None
     dtype: Dtype = None
+
+    def _shard_heads(self, t):
+        if self.head_shard_axis is None:
+            return t
+        from jax.sharding import PartitionSpec as P
+
+        # only constrain when a context mesh with the axis is active
+        # (jax.set_mesh / use_mesh); otherwise run unsharded — lets the
+        # same model trace for init outside a mesh
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh.empty or self.head_shard_axis not in mesh.shape:
+            return t
+        return jax.lax.with_sharding_constraint(
+            t, P(None, self.head_shard_axis, None, None)
+        )
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -200,7 +220,8 @@ class WindowAttention(nn.Module):
         rpi = jnp.asarray(relative_position_index(tuple(self.window_size)))
 
         def heads(t):
-            return t.reshape(b_, -1, nh, hd).transpose(0, 2, 1, 3)  # B_, nH, N, hd
+            t = t.reshape(b_, -1, nh, hd).transpose(0, 2, 1, 3)  # B_, nH, N, hd
+            return self._shard_heads(t)
 
         def attention(q, k, v, with_bias: bool):
             nq = q.shape[2]
