@@ -234,6 +234,10 @@ class VRT(_VRTBase):
         120, 120, 120, 120, 120, 120, 120, 180, 180, 180, 180, 180, 180,
     )
     num_heads: Sequence[int] = (6,) * 13
+    # 12, not the reference yaml's 16: offset groups must divide the
+    # 120-channel embed dim (16 would crash torchvision's deform_conv2d
+    # too; the original VRT REDS config uses 12)
+    deformable_groups: int = 12
     reshapes: Sequence[str] = ("none", "down", "down", "down", "up", "up", "up")
     scales: Sequence[int] = (1, 2, 4, 8, 4, 2, 1)
     flow_levels: Sequence[int] = (2, 3, 4, 5)  # 4 scales: 1, 1/2, 1/4, 1/8

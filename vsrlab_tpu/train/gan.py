@@ -235,6 +235,9 @@ def run(cfg: Config) -> Dict[str, float]:
 
 def main(argv=None):
     overrides = list(sys.argv[1:] if argv is None else argv)
+    from vsrlab_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = load_config(overrides=overrides)
     return run(cfg)
 

@@ -176,6 +176,9 @@ def _train_loop(
 
 def main(argv=None):
     overrides = list(sys.argv[1:] if argv is None else argv)
+    from vsrlab_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = load_config(overrides=overrides)
     return run(cfg)
 

@@ -1,7 +1,26 @@
-"""Utilities: deterministic seeding, profiling/tracing, timers."""
+"""Utilities: deterministic seeding, profiling/tracing, timers,
+compilation cache."""
 
 from vsrlab_tpu.utils.seed import seed_index_everything, seed_everything
 from vsrlab_tpu.utils.profiler import trace, Timer, annotate
+
+
+def enable_compilation_cache(directory: str | None = None) -> None:
+    """Persist XLA compilations across processes (full VRT takes ~5 min
+    to compile on v5e; cached reloads are seconds). Honors
+    ``VSRLAB_CACHE_DIR``; defaults to ``~/.cache/vsrlab_tpu/xla``."""
+    import os
+    from pathlib import Path
+
+    import jax
+
+    directory = directory or os.environ.get(
+        "VSRLAB_CACHE_DIR", str(Path.home() / ".cache" / "vsrlab_tpu" / "xla")
+    )
+    Path(directory).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 __all__ = [
     "seed_index_everything",
@@ -9,4 +28,5 @@ __all__ = [
     "trace",
     "Timer",
     "annotate",
+    "enable_compilation_cache",
 ]
