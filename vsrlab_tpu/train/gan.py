@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import sys
 import time
-from functools import partial
 from typing import Dict
 
 import jax

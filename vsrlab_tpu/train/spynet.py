@@ -53,24 +53,6 @@ from vsrlab_tpu.train.builders import build_tx
 from vsrlab_tpu.train.train import _accumulate, _mean_metrics
 
 
-class _FlowBatchDataset:
-    """Adapts (f1, f2, flow) triplet datasets to the dict-batch loader."""
-
-    def __init__(self, inner):
-        self.inner = inner
-
-    def set_epoch(self, epoch):
-        if hasattr(self.inner, "set_epoch"):
-            self.inner.set_epoch(epoch)
-
-    def __len__(self):
-        return len(self.inner)
-
-    def __getitem__(self, idx):
-        f1, f2, flow = self.inner[idx]
-        return np.stack([f1, f2]), flow  # loader maps to {"lr","hr"}... see step
-
-
 def load_level_data(cfg, k: int, levels: int):
     """Per-level datasets (reference load_data, spynet/utils.py:131-157)."""
     h, w = GConf(k).image_size
