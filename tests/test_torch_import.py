@@ -106,3 +106,111 @@ class TestRealBasicVSRImport:
         sr, lq = model.apply({"params": jax.tree.map(jnp.asarray, params)}, lr)
         assert sr.shape == (1, 2, 32, 32, 3)
         assert np.isfinite(np.asarray(sr)).all()
+
+
+class TestVRTImport:
+    def test_structure_matches_init(self, rng):
+        """Synthesize a reference-layout TinyVRT state dict and convert."""
+        from vsrlab_tpu.core.torch_import import load_torch_vrt
+        from vsrlab_tpu.models import TinyVRT
+
+        dims = (8,) * 7
+        depths = (2,) * 7
+        heads = (2,) * 7
+        ws = (2, 4, 4)
+        dg = 2
+        model = TinyVRT(
+            upscale=4, window_size=ws, depths=depths, embed_dims=dims,
+            num_heads=heads, deformable_groups=dg, drop_path_rate=0.0,
+        )
+
+        sd = {}
+
+        def conv2(key, cin, cout, k=3):
+            sd[f"{key}.weight"] = rng.standard_normal((cout, cin, k, k)).astype(np.float32)
+            sd[f"{key}.bias"] = rng.standard_normal(cout).astype(np.float32)
+
+        def conv3(key, cin, cout):
+            sd[f"{key}.weight"] = rng.standard_normal((cout, cin, 1, 3, 3)).astype(np.float32)
+            sd[f"{key}.bias"] = rng.standard_normal(cout).astype(np.float32)
+
+        def lin(key, cin, cout):
+            sd[f"{key}.weight"] = rng.standard_normal((cout, cin)).astype(np.float32)
+            sd[f"{key}.bias"] = rng.standard_normal(cout).astype(np.float32)
+
+        def ln(key, c):
+            sd[f"{key}.weight"] = rng.standard_normal(c).astype(np.float32)
+            sd[f"{key}.bias"] = rng.standard_normal(c).astype(np.float32)
+
+        def tmsa(prefix, dim, wsz, mut):
+            ln(f"{prefix}.norm1", dim)
+            ln(f"{prefix}.norm2", dim)
+            nrel = (2 * wsz[0] - 1) * (2 * wsz[1] - 1) * (2 * wsz[2] - 1)
+            sd[f"{prefix}.attn.relative_position_bias_table"] = rng.standard_normal(
+                (nrel, 2)
+            ).astype(np.float32)
+            lin(f"{prefix}.attn.qkv_self", dim, 3 * dim)
+            lin(f"{prefix}.attn.proj", 2 * dim if mut else dim, dim)
+            if mut:
+                lin(f"{prefix}.attn.qkv_mut", dim, 3 * dim)
+            lin(f"{prefix}.mlp.fc11", dim, 2 * dim)
+            lin(f"{prefix}.mlp.fc12", dim, 2 * dim)
+            lin(f"{prefix}.mlp.fc2", 2 * dim, dim)
+
+        def tmsag(prefix, dim, depth, wsz, mut):
+            for j in range(depth):
+                tmsa(f"{prefix}.blocks.{j}", dim, wsz, mut)
+
+        reshapes = ("none", "down", "down", "up", "up")
+        for i, rs in enumerate(reshapes, start=1):
+            d = dims[i - 1]
+            prev = dims[i - 2]
+            if rs == "none":
+                ln(f"stage{i}.reshape.1", d)
+            elif rs == "down":
+                ln(f"stage{i}.reshape.1", 4 * prev)
+                lin(f"stage{i}.reshape.2", 4 * prev, d)
+            else:
+                ln(f"stage{i}.reshape.1", prev // 4)
+                lin(f"stage{i}.reshape.2", prev // 4, d)
+            d1 = int(depths[i - 1] * 0.75)
+            tmsag(f"stage{i}.residual_group1", d, d1, (2, ws[1], ws[2]), True)
+            tmsag(f"stage{i}.residual_group2", d, depths[i - 1] - d1, ws, False)
+            lin(f"stage{i}.linear1", d, d)
+            lin(f"stage{i}.linear2", d, d)
+            # pa_deform
+            conv2(f"stage{i}.pa_deform.conv_offset.0", 2 * d + 2, d)
+            conv2(f"stage{i}.pa_deform.conv_offset.2", d, d)
+            conv2(f"stage{i}.pa_deform.conv_offset.4", d, d)
+            conv2(f"stage{i}.pa_deform.conv_offset.6", d, 3 * 9 * dg)
+            conv2(f"stage{i}.pa_deform", d, d)
+            lin(f"stage{i}.pa_fuse.fc11", 3 * d, 3 * d)
+            lin(f"stage{i}.pa_fuse.fc12", 3 * d, 3 * d)
+            lin(f"stage{i}.pa_fuse.fc2", 3 * d, d)
+
+        # trunk = stage6 for TinyVRT
+        ln("stage6.0.1", dims[4])
+        lin("stage6.0.2", dims[4], dims[5])
+        for k, i in ((1, 5), (2, 6)):
+            wsz = (1, ws[1], ws[2])  # indep_reconsts (-2, -1)
+            tmsag(f"stage6.{k}.residual_group", dims[i], depths[i], wsz, False)
+            lin(f"stage6.{k}.linear", dims[i], dims[i])
+
+        ln("norm", dims[-1])
+        lin("conv_after_body", dims[-1], dims[0])
+        conv3("conv_first", 27, dims[0])
+        conv3("conv_before_upsample.0", dims[0], 64)
+        conv3("upsample.0", 64, 256)
+        conv3("upsample.5", 64, 256)
+        conv3("upsample.10", 64, 64)
+        conv3("conv_last", 64, 3)
+        sd.update(synth_spynet_sd(rng, prefix="optical_flow."))
+
+        params = load_torch_vrt(sd, n_scale_stages=5)
+        x = jnp.zeros((1, 2, 16, 16, 3))
+        init_params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+        assert tree_shapes(params) == tree_shapes(init_params)
+
+        sr, lq = model.apply({"params": jax.tree.map(jnp.asarray, params)}, x)
+        assert sr.shape == (1, 2, 64, 64, 3)
+        assert np.isfinite(np.asarray(sr)).all()
