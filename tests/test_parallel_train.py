@@ -118,6 +118,29 @@ class TestShardedTraining:
             losses.append(float(metrics["Loss"]))
         assert losses[-1] < losses[0]
 
+    def test_eval_metrics_are_global_mean(self, rng):
+        """Val metrics computed on a mesh-sharded batch must equal the
+        unsharded global mean — the TPU-native form of the reference's
+        explicit ``dist.reduce`` val-loss aggregation (src/train.py:40-41)."""
+        model = tiny_model()
+        batch = make_batch(rng, b=8)
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), batch["lr"], tx)
+        eval_step = make_eval_step(model)
+
+        m_single, _ = eval_step(state.params, batch)
+
+        mesh = create_mesh({"data": 8})
+        with mesh:
+            params_r = jax.device_put(state.params, replicated(mesh))
+            batch_s = shard_batch(batch, mesh)
+            m_shard, _ = eval_step(params_r, batch_s)
+
+        for k in m_single:
+            np.testing.assert_allclose(
+                float(m_single[k]), float(m_shard[k]), rtol=1e-5
+            )
+
     def test_eval_step(self, rng):
         model = tiny_model()
         batch = make_batch(rng, b=2)
@@ -126,6 +149,59 @@ class TestShardedTraining:
         metrics, sr = make_eval_step(model)(state.params, batch)
         assert sr.shape == batch["hr"].shape
         assert np.isfinite(float(metrics["PSNR"]))
+
+
+class TestSequenceParallelTraining:
+    """Sequence-parallel TRAINING (VERDICT r1 #5 / SURVEY §7.1): clips
+    sharded over a (data, time) mesh must train identically to a single
+    device. XLA's SPMD partitioner inserts the halo exchanges (TMSA
+    windows / convs across time-shard boundaries) and the scan carry
+    hand-off (BasicVSR recurrence) from the input sharding alone."""
+
+    def _run_pair(self, model, batch, rng_key=0):
+        tx = optax.sgd(0.1)
+        state = create_train_state(
+            model, jax.random.PRNGKey(rng_key), batch["lr"], tx
+        )
+        step = make_supervised_train_step(model, donate=False)
+
+        state1, m1 = step(state, batch)
+
+        from vsrlab_tpu.parallel import shard_batch_sp
+
+        mesh = create_mesh({"data": 2, "time": 4})
+        with mesh:
+            state_r = jax.device_put(state, replicated(mesh))
+            batch_s = shard_batch_sp(batch, mesh)
+            state8, m8 = step(state_r, batch_s)
+
+        np.testing.assert_allclose(
+            float(m1["Loss"]), float(m8["Loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(state1.params), jax.tree.leaves(state8.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_sp_step_matches_single_device_realbasicvsr(self, rng):
+        """BasicVSR recurrence: the scan carry crosses time shards."""
+        self._run_pair(tiny_model(), make_batch(rng, b=2, t=4, h=8, w=8))
+
+    def test_sp_step_matches_single_device_vrt(self, rng):
+        """TMSA temporal windows straddle time-shard boundaries."""
+        from vsrlab_tpu.models import TinyVRT
+
+        model = TinyVRT(
+            upscale=4, window_size=(2, 4, 4), depths=(2,) * 7,
+            embed_dims=(8,) * 7, num_heads=(2,) * 7, deformable_groups=2,
+            drop_path_rate=0.0,
+        )
+        rngs = np.random.default_rng(1)
+        batch = {
+            "lr": jnp.asarray(rngs.random((2, 4, 16, 16, 3)), jnp.float32),
+            "hr": jnp.asarray(rngs.random((2, 4, 64, 64, 3)), jnp.float32),
+        }
+        self._run_pair(model, batch)
 
 
 class TestTensorParallel:
@@ -164,3 +240,39 @@ class TestEntryContract:
         fn, args = g.entry()
         out = jax.eval_shape(fn, *args)  # trace-only: shape contract
         assert out.shape == (1, 6, 256, 256, 3)
+
+    @pytest.mark.slow
+    def test_dryrun_self_provisions_from_one_device(self):
+        """Driver conditions (MULTICHIP_r01 regression): plain ``python -c``
+        on a 1-device platform with no env prep. ``dryrun_multichip`` must
+        provision its own 8-virtual-CPU mesh via subprocess re-exec."""
+        import os
+        import re
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        # strip the conftest's 8-device provisioning → 1 CPU device, like
+        # the driver's 1-chip platform
+        env["XLA_FLAGS"] = re.sub(
+            r"--xla_force_host_platform_device_count=\d+",
+            "",
+            env.get("XLA_FLAGS", ""),
+        ).strip()
+        env["JAX_PLATFORMS"] = "cpu"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import __graft_entry__ as g; g.dryrun_multichip(8)",
+            ],
+            env=env,
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=2400,  # cold-cache CPU compile can take ~20 min here
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "dryrun_multichip OK" in proc.stdout
+        assert "dryrun_multichip TP OK" in proc.stdout

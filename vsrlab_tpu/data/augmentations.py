@@ -6,19 +6,18 @@ CONSTRUCTION time, so every clip in a run gets the same degradation
 (reference :15, :44-46 — SURVEY.md §7.4); here severities are sampled
 per call from a ``numpy.random.Generator``.
 
-Video compression uses OpenCV's FFmpeg backend. This box has MPEG-4
-part-2 codecs (mp4v/XVID) but no libx264, so requested h264/libx264
-codecs fall back to mp4v with the CRF mapped onto the encoder quality
-scale — the purpose (realistic block/ringing codec artifacts) is
-preserved. PyAV is not installed; nothing here depends on it.
+Video compression: no PyAV/ffmpeg on this box, and OpenCV's FFmpeg
+``VideoWriter`` exposes no working rate control (measured,
+docs/degradation_calibration.md) — so :class:`RandomVideoCompression`
+uses the in-house DCT-residual codec emulator
+(:mod:`vsrlab_tpu.data.codec_emulator`) whose severity knob is real and
+calibrated against x264's CRF slope.
 
 All transforms take/return float32 clips ``(T, H, W, C)`` in [0, 1].
 """
 
 from __future__ import annotations
 
-import os
-import tempfile
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -69,10 +68,15 @@ class RandomJPEGCompression:
 
 
 class RandomVideoCompression:
-    """Video-codec encode/decode round-trip (reference :41-71).
+    """Inter-frame video-compression degradation (reference :41-71).
 
-    codec/crf/fps sampled per call; crf maps to the mp4v quality scale
-    when H.264 is unavailable (lower crf = higher quality).
+    codec/crf/fps sampled per call. Round 1 used a cv2 mp4v round-trip
+    with ``VIDEOWRITER_PROP_QUALITY`` — measured to be a NO-OP on this
+    box's FFmpeg backend (identical bpp/PSNR at every setting; see
+    docs/degradation_calibration.md). The severity knob is now real: a
+    DCT-quantized residual codec emulator with a calibrated crf→quantizer
+    mapping (:mod:`vsrlab_tpu.data.codec_emulator`). The sampled fps sets
+    the GOP length (keyframe cadence), like encoder keyint defaults.
     """
 
     def __init__(
@@ -93,39 +97,15 @@ class RandomVideoCompression:
         return vals[int(rng.integers(len(vals)))]
 
     def __call__(self, clip: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        if not _HAS_CV2:
-            return clip
+        from vsrlab_tpu.data.codec_emulator import (
+            crf_to_quality,
+            dct_codec_roundtrip,
+        )
+
         crf = self._sample(rng, self.crf)
         fps = self._sample(rng, self.fps)
-        t, h, w, _ = clip.shape
-
-        path = tempfile.mktemp(suffix=".mp4")
-        try:
-            writer = cv2.VideoWriter(
-                path, cv2.VideoWriter_fourcc(*"mp4v"), float(fps), (w, h)
-            )
-            if not writer.isOpened():
-                return clip
-            # crf 0 (lossless) .. 51 (worst) -> quality 100 .. 1
-            writer.set(cv2.VIDEOWRITER_PROP_QUALITY, max(1.0, 100.0 - crf * 2.0))
-            for frame in clip:
-                writer.write(_to_u8(frame)[..., ::-1])
-            writer.release()
-
-            frames = []
-            cap = cv2.VideoCapture(path)
-            while True:
-                ok, img = cap.read()
-                if not ok:
-                    break
-                frames.append(_to_f32(img[..., ::-1]))
-            cap.release()
-        finally:
-            if os.path.exists(path):
-                os.remove(path)
-        if len(frames) != t:
-            return clip
-        return np.stack(frames)
+        gop = int(np.clip(fps, 4, 16))
+        return dct_codec_roundtrip(clip, crf_to_quality(crf), gop=gop)
 
 
 class RandomCrop:

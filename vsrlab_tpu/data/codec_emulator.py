@@ -1,0 +1,173 @@
+"""Inter-frame video-compression degradation with a real severity knob.
+
+Why this exists (measured, scripts/calibrate_degradation.py): this box has
+no PyAV/ffmpeg binary, and OpenCV 5's FFmpeg ``VideoWriter`` exposes ZERO
+rate control — ``VIDEOWRITER_PROP_QUALITY``, the params API, and
+``OPENCV_FFMPEG_WRITER_OPTIONS`` are all ignored for mp4v/VP9 (bpp and
+PSNR identical at every setting). The reference's degradation
+(libx264/h264/mpeg4 at sampled CRF,
+/root/reference/src/core/augmentations.py:41-71) therefore cannot be
+reproduced through cv2; round 1 shipped a quality knob that silently did
+nothing.
+
+This module implements the artifact *mechanism* of those codecs directly —
+8×8 block-DCT quantization of motion-residuals in YCbCr with 4:2:0 chroma
+subsampling and a closed GOP — so training sees the same artifact classes
+(blocking, ringing, chroma bleed, P-frame error accumulation / temporal
+flicker) with an exact quantizer. ``crf_to_quality`` maps x264-style CRF
+onto the quantizer scale, calibrated so PSNR falls ≈ 0.5 dB per CRF step
+(the x264 severity slope); the measured curve lives in
+docs/degradation_calibration.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# libjpeg base quantization tables (luma / chroma)
+_Q_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    np.float32,
+)
+_Q_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    np.float32,
+)
+
+
+def _dct_basis(n: int = 8) -> np.ndarray:
+    k = np.arange(n)[:, None].astype(np.float64)
+    x = np.arange(n)[None, :].astype(np.float64)
+    b = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    b[0] /= np.sqrt(2.0)
+    return b.astype(np.float32)
+
+
+_B = _dct_basis(8)
+
+
+def _scale_table(table: np.ndarray, quality: float) -> np.ndarray:
+    """libjpeg quality scaling (1 worst .. 100 lossless-ish)."""
+    q = float(np.clip(quality, 1, 100))
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    return np.clip(np.floor((table * scale + 50.0) / 100.0), 1.0, 255.0)
+
+
+def _blockwise(plane: np.ndarray, fn) -> np.ndarray:
+    """Apply ``fn`` to 8×8 blocks of (H, W) (H, W multiples of 8)."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    out = fn(blocks)
+    return out.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def _quantize_plane(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """DCT → quantize → dequantize → IDCT on one (H, W) plane (in [-255,255]
+    residual units)."""
+
+    def fn(blocks):
+        coef = np.einsum("kn,bcnm,lm->bckl", _B, blocks, _B)
+        coef = np.rint(coef / qtab) * qtab
+        return np.einsum("kn,bckl,lm->bcnm", _B, coef, _B)
+
+    return _blockwise(plane, fn)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    m = np.array(
+        [[0.299, 0.587, 0.114], [-0.168736, -0.331264, 0.5], [0.5, -0.418688, -0.081312]],
+        np.float32,
+    )
+    out = rgb @ m.T
+    out[..., 1:] += 0.5
+    return out
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 0.5
+    cr = ycc[..., 2] - 0.5
+    return np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+
+
+def _sub2(p: np.ndarray) -> np.ndarray:
+    return 0.25 * (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2])
+
+
+def _up2(p: np.ndarray) -> np.ndarray:
+    return np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)
+
+
+def crf_to_quality(crf: float) -> float:
+    """x264-style CRF → emulator quantizer quality.
+
+    Calibrated on the scripts/calibrate_degradation.py clip
+    (docs/degradation_calibration.md): the emulator's PSNR is ≈ linear in
+    ``log(quality)`` (psnr ≈ 15.2 + 4.13·ln q measured), and this mapping
+    makes PSNR fall ≈ 0.5 dB per CRF step — the x264 severity slope —
+    across the training range crf ∈ [18, 40].
+    """
+    return float(np.clip(np.exp(6.6 - 0.118 * float(crf)), 2.0, 100.0))
+
+
+def dct_codec_roundtrip(
+    clip: np.ndarray, quality: float, gop: int = 8, subsample_chroma: bool = True
+) -> np.ndarray:
+    """Closed-GOP IPPP… codec round-trip on a float32 clip (T,H,W,3) in [0,1].
+
+    I-frames quantize the frame's DCT; P-frames quantize the DCT of the
+    residual against the previous *reconstructed* frame, so quantization
+    error propagates through the GOP exactly like a real inter codec.
+    """
+    t, h, w, _ = clip.shape
+    ph, pw = (-h) % 16, (-w) % 16  # /16 so chroma planes are /8
+    padded = np.pad(clip, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded.astype(np.float32)) * 255.0
+
+    q_l = _scale_table(_Q_LUMA, quality)
+    q_c = _scale_table(_Q_CHROMA, quality)
+    # inter residuals are easier to code: real codecs use finer quantizers
+    # for P-frames; approximate with the same table (conservative).
+
+    recon = np.empty_like(ycc)
+    prev = None
+    for i in range(t):
+        is_i = (i % gop) == 0 or prev is None
+        planes = []
+        for c in range(3):
+            p = ycc[i, :, :, c]
+            if c > 0 and subsample_chroma:
+                p = _sub2(p)
+            ref = np.zeros_like(p) if is_i else prev[c]
+            res = p - ref
+            res_q = _quantize_plane(res, q_l if c == 0 else q_c)
+            planes.append(ref + res_q)
+        prev = planes
+        y = planes[0]
+        cb = _up2(planes[1]) if subsample_chroma else planes[1]
+        cr = _up2(planes[2]) if subsample_chroma else planes[2]
+        recon[i] = np.stack([y, cb, cr], axis=-1)
+
+    rgb = _ycbcr_to_rgb(recon / 255.0)
+    return np.clip(rgb[:, :h, :w], 0.0, 1.0).astype(np.float32)

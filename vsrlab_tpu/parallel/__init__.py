@@ -8,15 +8,18 @@ Replaces the reference's NCCL/DDP distributed substrate
 * per-process input sharding replaces ``DistributedSampler``;
 * ``jax.process_index() == 0`` replaces "rank 0";
 * the ``time`` axis shards long clips for sequence-parallel inference
-  (capability the reference lacks — SURVEY.md §2.8).
+  AND training (capability the reference lacks — SURVEY.md §2.8, §7.1);
+  see :func:`clip_sharding` / :func:`shard_batch_sp`.
 """
 
 from vsrlab_tpu.parallel.mesh import (
     create_mesh,
     batch_sharding,
+    clip_sharding,
     initialize_distributed,
     replicated,
     shard_batch,
+    shard_batch_sp,
     local_batch_slice,
     process_count,
     process_index,
@@ -25,9 +28,11 @@ from vsrlab_tpu.parallel.mesh import (
 __all__ = [
     "create_mesh",
     "batch_sharding",
+    "clip_sharding",
     "initialize_distributed",
     "replicated",
     "shard_batch",
+    "shard_batch_sp",
     "local_batch_slice",
     "process_count",
     "process_index",

@@ -89,8 +89,48 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
     The TPU-native replacement for ``DistributedSampler`` + ``.to(device)``
     (reference src/core/utils.py:199-200, src/train.py:90-91).
+
+    Multi-host: each process passes its OWN per-process shard (from the
+    loader's ``num_shards``/``shard_index`` slicing) and the shards are
+    assembled into one global array. Metrics/losses computed inside jit on
+    that array are then global means — the explicit cross-process val-loss
+    reduce of the reference (``dist.reduce``, src/train.py:40-41) happens
+    inside the XLA program instead.
     """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            batch,
+        )
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def clip_sharding(
+    mesh: Mesh, batch_axis: str = "data", time_axis: str = "time"
+) -> NamedSharding:
+    """Sharding for clips ``(B, T, H, W, C)``: batch over ``batch_axis``
+    AND frames over ``time_axis`` — sequence-parallel training
+    (SURVEY.md §7.1 "sequence scaling").
+
+    Under ``jit`` the XLA SPMD partitioner propagates this sharding
+    through the whole train step and inserts the required collectives
+    itself: collective-permute halo exchanges where TMSA windows / convs
+    straddle time-shard boundaries, and per-step carry hand-off for the
+    BasicVSR ``lax.scan`` recurrence. No model changes are needed — this
+    is the TPU-native replacement for hand-written ring/halo comm.
+    """
+    return NamedSharding(mesh, P(batch_axis, time_axis))
+
+
+def shard_batch_sp(batch, mesh: Mesh, batch_axis: str = "data", time_axis: str = "time"):
+    """Place a host batch with batch AND time axes sharded (SP training)."""
+    sharding = clip_sharding(mesh, batch_axis, time_axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -42,6 +42,34 @@ def _accumulate(sums: Dict[str, float], metrics) -> Dict[str, float]:
     return sums
 
 
+def restore_state(state, tcfg, ckpt: CheckpointManager, ckpt_dir: str):
+    """Apply the reference's restore / restore_opt / finetune semantics
+    (src/core/utils.py:106-123): ``restore`` loads weights; ``restore_opt``
+    additionally loads optimizer state and resumes the epoch counter;
+    ``finetune`` resets the epoch counter to 0 regardless.
+
+    Returns ``(state, start_epoch)``.
+    """
+    start_epoch = 0
+    if tcfg.get("restore"):
+        src = CheckpointManager(tcfg.restore) if tcfg.restore != ckpt_dir else ckpt
+        epoch, payload = src.restore(
+            template={"params": state.params, "opt_state": state.opt_state}
+        )
+        state = state.replace(params=payload["params"])
+        if tcfg.get("restore_opt"):
+            state = state.replace(opt_state=payload["opt_state"], step=epoch)
+            start_epoch = epoch + 1
+        if tcfg.get("finetune"):
+            start_epoch = 0
+            print("finetuning mode")
+        print(
+            f"restored checkpoint @ epoch {epoch} from {tcfg.restore}; "
+            f"resuming from epoch {start_epoch}"
+        )
+    return state, start_epoch
+
+
 def run(cfg: Config) -> Dict[str, float]:
     """Train per config; returns final val metrics (for tests)."""
     from vsrlab_tpu.utils import seed_index_everything
@@ -72,19 +100,9 @@ def run(cfg: Config) -> Dict[str, float]:
     state = create_train_state(model, rng, example, tx)
 
     # restore / finetune (reference src/core/utils.py:106-135)
-    start_epoch = 0
     ckpt_dir = tcfg.get("checkpoint_dir", "./checkpoints")
     ckpt = CheckpointManager(ckpt_dir)
-    if tcfg.get("restore"):
-        src = CheckpointManager(tcfg.restore) if tcfg.restore != ckpt_dir else ckpt
-        epoch, payload = src.restore(
-            template={"params": state.params, "opt_state": state.opt_state}
-        )
-        state = state.replace(params=payload["params"])
-        if tcfg.get("restore_opt"):
-            state = state.replace(opt_state=payload["opt_state"], step=epoch)
-            start_epoch = epoch + 1
-        print(f"restored checkpoint @ epoch {epoch} from {tcfg.restore}")
+    state, start_epoch = restore_state(state, tcfg, ckpt, ckpt_dir)
 
     logger = build_logger(tcfg.get("logger")) if process_index() == 0 else None
 

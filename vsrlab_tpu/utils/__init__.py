@@ -14,6 +14,8 @@ def enable_compilation_cache(directory: str | None = None) -> None:
 
     import jax
 
+    if directory is None and jax.config.jax_compilation_cache_dir:
+        return  # a cache is already configured (e.g. tests/conftest.py)
     directory = directory or os.environ.get(
         "VSRLAB_CACHE_DIR", str(Path.home() / ".cache" / "vsrlab_tpu" / "xla")
     )
