@@ -20,6 +20,7 @@ sys.path.insert(0, ".")
 
 from vsrlab_tpu.ops.pallas_conv import (  # noqa: E402
     residual_conv_pair,
+    residual_conv_pair_im2col,
     residual_conv_pair_xla,
 )
 
@@ -67,29 +68,35 @@ def main():
     print(f"XLA chain      : {dt*1e3:8.3f} ms  {FLOPS/dt/1e12:6.1f} TFLOP/s")
     ref = jit_xla(x, *flat)
 
-    for br in block_rows_list:
-        if H % br:
-            continue
+    for name, fn in (("taps", residual_conv_pair), ("im2col", residual_conv_pair_im2col)):
+        for br in block_rows_list:
+            if H % br:
+                continue
 
-        def chain_pl(x, *flat, _br=br):
-            for i in range(PAIRS):
-                w1, b1, w2, b2 = flat[4 * i : 4 * i + 4]
-                x = residual_conv_pair(x, w1, b1, w2, b2, block_rows=_br)
-            return x
+            def chain_pl(x, *flat, _br=br, _fn=fn):
+                for i in range(PAIRS):
+                    w1, b1, w2, b2 = flat[4 * i : 4 * i + 4]
+                    x = _fn(x, w1, b1, w2, b2, block_rows=_br)
+                return x
 
-        try:
-            jit_pl = jax.jit(chain_pl)
-            dt = timed(jit_pl, (x, *flat))
-            got = jit_pl(x, *flat)
-            err = float(
-                jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
-            )
-            print(
-                f"Pallas br={br:3d} : {dt*1e3:8.3f} ms  "
-                f"{FLOPS/dt/1e12:6.1f} TFLOP/s  max|Δ|={err:.3e}"
-            )
-        except Exception as e:  # Mosaic compile failures are data too
-            print(f"Pallas br={br:3d} : FAILED: {type(e).__name__}: {str(e)[:300]}")
+            try:
+                jit_pl = jax.jit(chain_pl)
+                dt = timed(jit_pl, (x, *flat))
+                got = jit_pl(x, *flat)
+                ref32 = ref.astype(jnp.float32)
+                err = float(
+                    jnp.max(jnp.abs(got.astype(jnp.float32) - ref32))
+                    / (float(jnp.max(jnp.abs(ref32))) + 1e-9)
+                )
+                print(
+                    f"Pallas {name:6s} br={br:3d} : {dt*1e3:8.3f} ms  "
+                    f"{FLOPS/dt/1e12:6.1f} TFLOP/s  rel|Δ|={err:.3e}"
+                )
+            except Exception as e:  # Mosaic compile failures are data too
+                print(
+                    f"Pallas {name:6s} br={br:3d} : FAILED: "
+                    f"{type(e).__name__}: {str(e)[:200]}"
+                )
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ import pytest
 
 from vsrlab_tpu.ops.pallas_conv import (
     residual_conv_pair,
+    residual_conv_pair_im2col,
     residual_conv_pair_xla,
 )
 
@@ -32,6 +33,12 @@ def test_residual_conv_pair_matches_xla(rng, shape, block_rows):
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    got2 = residual_conv_pair_im2col(
+        x, w1, b1, w2, b2, block_rows=block_rows, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want), rtol=1e-5, atol=1e-5
     )
 
 

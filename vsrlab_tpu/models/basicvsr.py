@@ -41,6 +41,7 @@ class _PropagationCell(nn.Module):
 
     mid_channels: int
     res_blocks: int
+    unroll: int = 4
     dtype: Dtype = None
 
     @nn.compact
@@ -49,7 +50,8 @@ class _PropagationCell(nn.Module):
         warped = flow_warp(feat_prop, flow_t)
         feat = jnp.concatenate([lr_t, warped], axis=-1)
         feat_prop = ResidualBlock(
-            self.mid_channels, self.res_blocks, dtype=self.dtype
+            self.mid_channels, self.res_blocks, unroll=self.unroll,
+            dtype=self.dtype,
         )(feat)
         return feat_prop, feat_prop
 
@@ -68,18 +70,31 @@ class BasicVSR(nn.Module):
     upscale: int = 4
     train_flow: bool = False
     remat: bool = False  # rematerialise recurrence steps (long-clip training)
+    # Fuse both propagation directions into ONE time-scan body with fully
+    # unrolled residual stacks: the TPU executes a single instruction
+    # stream, so two independent flat conv chains interleave on the MXU
+    # (measured 31.2 vs 17.9 TFLOP/s useful — scripts/bench_blockdiag.py);
+    # separate per-direction scans are loop thunks that CANNOT interleave,
+    # which is why the round-1 "fused scan body with inner block scans"
+    # attempt showed no gain (docs/tpu_kernel_notes.md). Numerics are
+    # bit-identical: the directions never interact inside the body.
+    fuse_directions: bool = True
+    block_unroll: int = 0  # 0 = full unroll when fused, 4 otherwise
     dtype: Dtype = None
 
     def setup(self):
         cell_cls = nn.remat(_PropagationCell) if self.remat else _PropagationCell
+        unroll = self.block_unroll or (
+            self.res_blocks if self.fuse_directions else 4
+        )
         self.spynet = SpyNet(dtype=self.dtype)
         self.backward_cell = cell_cls(
-            self.mid_channels, self.res_blocks, dtype=self.dtype,
-            name="backward_resblocks",
+            self.mid_channels, self.res_blocks, unroll=unroll,
+            dtype=self.dtype, name="backward_resblocks",
         )
         self.forward_cell = cell_cls(
-            self.mid_channels, self.res_blocks, dtype=self.dtype,
-            name="forward_resblocks",
+            self.mid_channels, self.res_blocks, unroll=unroll,
+            dtype=self.dtype, name="forward_resblocks",
         )
         self.point_conv = Conv2d(self.mid_channels, 1, 1, 0, dtype=self.dtype)
         self.upsample = [
@@ -118,23 +133,44 @@ class BasicVSR(nn.Module):
         )
         fwd_flows = jnp.concatenate([zero_flow, flows_forward], axis=1)
 
-        scan = nn.scan(
-            lambda cell, carry, xs: cell(carry, xs),
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
-        )
-
         feat0 = jnp.zeros(
             (b, h, w, self.mid_channels), self.dtype or lrs.dtype
         )
         lrs_rev = jnp.flip(lrs, axis=1)
-        _, outputs_backward = scan(
-            self.backward_cell, feat0, (lrs_rev, bwd_flows)
-        )
-        outputs_backward = jnp.flip(outputs_backward, axis=1)
-        _, outputs_forward = scan(self.forward_cell, feat0, (lrs, fwd_flows))
+
+        if self.fuse_directions:
+            # one scan, both directions per step (independent carries)
+            def body(mdl, carry, xs):
+                fb, ff = carry
+                lr_b, fl_b, lr_f, fl_f = xs
+                fb, out_b = mdl.backward_cell(fb, (lr_b, fl_b))
+                ff, out_f = mdl.forward_cell(ff, (lr_f, fl_f))
+                return (fb, ff), (out_b, out_f)
+
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=1,
+                out_axes=1,
+            )
+            _, (outputs_backward, outputs_forward) = scan(
+                self, (feat0, feat0), (lrs_rev, bwd_flows, lrs, fwd_flows)
+            )
+            outputs_backward = jnp.flip(outputs_backward, axis=1)
+        else:
+            scan = nn.scan(
+                lambda cell, carry, xs: cell(carry, xs),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=1,
+                out_axes=1,
+            )
+            _, outputs_backward = scan(
+                self.backward_cell, feat0, (lrs_rev, bwd_flows)
+            )
+            outputs_backward = jnp.flip(outputs_backward, axis=1)
+            _, outputs_forward = scan(self.forward_cell, feat0, (lrs, fwd_flows))
 
         # fusion + upsampling, batched over all frames
         out = jnp.concatenate([outputs_backward, outputs_forward], axis=-1)

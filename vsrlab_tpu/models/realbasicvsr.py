@@ -30,6 +30,8 @@ class RealBasicVSR(nn.Module):
     upscale: int = 4
     train_flow: bool = False
     remat: bool = False
+    fuse_directions: bool = True  # see BasicVSR.fuse_directions
+    block_unroll: int = 0
     dtype: Dtype = None
 
     @nn.compact
@@ -48,6 +50,8 @@ class RealBasicVSR(nn.Module):
             self.upscale,
             self.train_flow,
             self.remat,
+            fuse_directions=self.fuse_directions,
+            block_unroll=self.block_unroll,
             dtype=self.dtype,
             name="basicvsr",
         )(lq)

@@ -132,6 +132,98 @@ def residual_conv_pair(x, w1, b1, w2, b2, block_rows: int = 12, interpret: bool 
     )
 
 
+def _residual_pair_im2col_kernel(
+    xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+    y_ref, patch_ref, *, H, W, C, BR,
+):
+    """im2col variant: one (M, 9C) @ (9C, C) matmul per conv — packs the
+    MXU K dimension to 576 instead of nine K=64 matmuls."""
+    nblk = H // BR
+
+    def body(i, carry):
+        r0 = i * BR
+
+        # conv1: patches for y rows [r0-1, r0+BR+1)
+        for dy in range(3):
+            xs = xp_ref[0, pl.ds(r0 + dy, BR + 2)]  # (BR+2, W+2, C)
+            for dx in range(3):
+                k = dy * 3 + dx
+                patch_ref[:, k * C : (k + 1) * C] = xs[:, dx : dx + W, :].reshape(
+                    (BR + 2) * W, C
+                )
+        acc = jax.lax.dot(
+            patch_ref[...], w1_ref[...], preferred_element_type=jnp.float32
+        ).reshape(BR + 2, W, C) + b1_ref[0].astype(jnp.float32)
+
+        q = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, 1), 0) + (r0 - 1)
+        valid = jnp.logical_and(q >= 0, q < H)
+        yv = jnp.where(valid, jnp.maximum(acc, 0.0), 0.0)
+        y_ref[:, 1 : W + 1, :] = yv.astype(y_ref.dtype)
+        y_ref[:, 0:1, :] = jnp.zeros((BR + 2, 1, C), y_ref.dtype)
+        y_ref[:, W + 1 : W + 2, :] = jnp.zeros((BR + 2, 1, C), y_ref.dtype)
+
+        # conv2: patches for out rows [r0, r0+BR)
+        yb = y_ref[...]
+        for dy in range(3):
+            for dx in range(3):
+                k = dy * 3 + dx
+                patch_ref[: BR * W, k * C : (k + 1) * C] = yb[
+                    dy : dy + BR, dx : dx + W, :
+                ].reshape(BR * W, C)
+        acc2 = jax.lax.dot(
+            patch_ref[: BR * W], w2_ref[...], preferred_element_type=jnp.float32
+        ).reshape(BR, W, C) + b2_ref[0].astype(jnp.float32)
+
+        res = xp_ref[0, pl.ds(r0 + 2, BR), 1 : W + 1, :]
+        out_ref[0, pl.ds(r0, BR)] = res + acc2.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nblk, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def residual_conv_pair_im2col(
+    x, w1, b1, w2, b2, block_rows: int = 12, interpret: bool = False
+):
+    """im2col formulation of :func:`residual_conv_pair` (same semantics)."""
+    B, H, W, C = x.shape
+    assert H % block_rows == 0, (H, block_rows)
+    dt = x.dtype
+    xp = jnp.pad(x, ((0, 0), (2, 2), (1, 1), (0, 0)))
+    kern = functools.partial(
+        _residual_pair_im2col_kernel, H=H, W=W, C=C, BR=block_rows
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, H + 4, W + 2, C), lambda b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), dt),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows + 2, W + 2, C), dt),
+            pltpu.VMEM(((block_rows + 2) * W, 9 * C), dt),
+        ],
+        interpret=interpret,
+    )(
+        xp,
+        w1.astype(dt).reshape(9 * C, C),
+        b1.reshape(1, C),
+        w2.astype(dt).reshape(9 * C, C),
+        b2.reshape(1, C),
+    )
+
+
 def residual_conv_pair_xla(x, w1, b1, w2, b2):
     """XLA reference lowering of the same unit (numeric oracle + baseline)."""
     dt = x.dtype
