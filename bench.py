@@ -62,12 +62,16 @@ def bench_inference(model, params):
         np.random.default_rng(0).random((1, t_frames, h, w, 3)), jnp.float32
     )
 
-    # the experimental fusion cost model measures ~5% faster on this
-    # model (417 vs 440 ms/clip on v5e); fusion decisions only, numerics
-    # unchanged
+    # measured compiler-option sweep (docs/tpu_kernel_notes.md): the
+    # experimental fusion cost model is ~5% faster, and a 32 MiB scoped
+    # VMEM limit another ~2% (96 MiB regresses 12%). Fusion/scheduling
+    # decisions only; numerics unchanged.
     @partial(
         jax.jit,
-        compiler_options={"xla_tpu_enable_experimental_fusion_cost_model": "true"},
+        compiler_options={
+            "xla_tpu_enable_experimental_fusion_cost_model": "true",
+            "xla_tpu_scoped_vmem_limit_kib": "32768",
+        },
     )
     def forward(params, lr):
         sr, _ = model.apply({"params": params}, lr)
