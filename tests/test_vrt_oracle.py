@@ -1,0 +1,135 @@
+"""End-to-end VRT/TinyVRT forward vs the torch reference (VERDICT r1 #3/#5).
+
+The reference model (/root/reference/src/vsr/models/VRT/vrt.py:141-235,
+TinyVRT :237-354) is executed directly in torch (reference bugs patched as
+SURVEY.md §7.4 licenses — see tests/_reference_loader.py), its state dict is
+converted with :func:`vsrlab_tpu.core.torch_import.load_torch_vrt`, and the
+full flax forward is pinned against the torch output. This validates in one
+shot: the stage/TMSA wiring, per-scale flow-list striding, parallel warping,
+the trunk, the upsample ladder, AND the checkpoint importer numerics.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from _reference_loader import (  # noqa: E402
+    construct_tiny_vrt,
+    load_reference_vrt,
+    patch_vrt_flow_levels,
+    torch_deform_conv2d,
+)
+from vsrlab_tpu.core.torch_import import load_torch_vrt  # noqa: E402
+from vsrlab_tpu.models import VRT, TinyVRT  # noqa: E402
+
+
+def test_fake_torchvision_matches_numpy_oracle(rng):
+    """The pure-torch deform_conv2d stand-in must agree with the numpy
+    loop oracle used to validate ops/deform.py."""
+    from test_ops_misc import _deform_conv_reference
+
+    n, h, w, cin, cout, k, g = 1, 5, 6, 4, 3, 3, 2
+    x = rng.standard_normal((n, h, w, cin)).astype(np.float32)
+    offset = (rng.standard_normal((n, h, w, 2 * g * k * k)) * 1.5).astype(np.float32)
+    weight = rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.1
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    mask = rng.uniform(0, 1, size=(n, h, w, g * k * k)).astype(np.float32)
+
+    want = _deform_conv_reference(x, offset, weight, bias, 1, 1, 1, mask)
+    got = torch_deform_conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(offset.transpose(0, 3, 1, 2)),
+        torch.from_numpy(weight.transpose(3, 2, 0, 1)),
+        torch.from_numpy(bias),
+        1,
+        1,
+        1,
+        torch.from_numpy(mask.transpose(0, 3, 1, 2)),
+    )
+    got = got.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _run_pair(ref_model, our_model, n_scale_stages, x_np):
+    """Transplant reference weights into the flax model, run both."""
+    ref_model.eval()
+    with torch.no_grad():
+        sr_t, _ = ref_model(
+            torch.from_numpy(x_np.transpose(0, 1, 4, 2, 3))  # B,T,C,H,W
+        )
+    want = sr_t.numpy().transpose(0, 1, 3, 4, 2)
+
+    params = load_torch_vrt(ref_model.state_dict(), n_scale_stages)
+    params = jax.tree.map(jnp.asarray, params)
+    got, lq = our_model.apply({"params": params}, jnp.asarray(x_np))
+    np.testing.assert_array_equal(np.asarray(lq), x_np)
+    return np.asarray(got), want
+
+
+def _assert_forward_match(got, want):
+    """Wiring check across ~25 fp32 layers + warps: a real wiring bug
+    (wrong flow scale/stage order/offset layout) produces O(1e-1) diffs;
+    fp32 reduction-order + resize/warp coefficient rounding produce a
+    ~1e-6 background with sparse ~1e-3 outliers (measured: mean 4.7e-5,
+    max 1.6e-3 on outputs in [0,1]). Gate on both the mean and the max."""
+    diff = np.abs(got - want)
+    assert diff.mean() < 2e-4, f"mean diff {diff.mean():.2e}"
+    assert diff.max() < 5e-3, f"max diff {diff.max():.2e}"
+
+
+class TestTinyVRTOracle:
+    def test_full_forward_matches_reference(self, rng):
+        ref_vrt = load_reference_vrt()
+        patch_vrt_flow_levels(ref_vrt)
+        kw = dict(
+            upscale=4,
+            window_size=[2, 4, 4],
+            depths=[2] * 7,
+            embed_dims=[8] * 7,
+            num_heads=[2] * 7,
+            mul_attn_ratio=0.75,
+            drop_path_rate=0.0,
+            deformable_groups=2,
+        )
+        torch.manual_seed(0)
+        ref = construct_tiny_vrt(
+            ref_vrt, img_size=[4, 64, 64], optical_flow_pretrained=False, **kw
+        )
+        ours = TinyVRT(**{**kw, "window_size": (2, 4, 4), "depths": (2,) * 7,
+                          "embed_dims": (8,) * 7, "num_heads": (2,) * 7})
+
+        x = rng.random((1, 4, 64, 64, 3)).astype(np.float32)
+        got, want = _run_pair(ref, ours, 5, x)
+        assert got.shape == want.shape == (1, 4, 256, 256, 3)
+        _assert_forward_match(got, want)
+
+
+class TestVRTOracle:
+    def test_full_forward_matches_reference(self, rng):
+        ref_vrt = load_reference_vrt()
+        patch_vrt_flow_levels(ref_vrt)
+        kw = dict(
+            upscale=4,
+            window_size=[2, 4, 4],
+            depths=[2] * 8,
+            embed_dims=[8] * 8,
+            num_heads=[2] * 8,
+            mul_attn_ratio=0.75,
+            drop_path_rate=0.0,
+            deformable_groups=2,
+        )
+        torch.manual_seed(1)
+        ref = ref_vrt.VRT(
+            img_size=[4, 64, 64], optical_flow_pretrained=False, **kw
+        )
+        ours = VRT(**{**kw, "window_size": (2, 4, 4), "depths": (2,) * 8,
+                      "embed_dims": (8,) * 8, "num_heads": (2,) * 8})
+
+        x = rng.random((1, 4, 64, 64, 3)).astype(np.float32)
+        got, want = _run_pair(ref, ours, 7, x)
+        assert got.shape == want.shape == (1, 4, 256, 256, 3)
+        _assert_forward_match(got, want)
