@@ -51,6 +51,7 @@ class TestRAFT:
         assert abs(np.median(inner[..., 0]) - 3) < 0.5
         assert abs(np.median(inner[..., 1]) - 2) < 0.5
 
+    @pytest.mark.slow
     def test_random_init_shapes(self, rng):
         model = RAFT(small=True, scale_factor=8, iters=2)
         x = jnp.asarray(rng.random((1, 32, 48, 3)), jnp.float32)
@@ -59,6 +60,7 @@ class TestRAFT:
         assert flow.shape == (1, 32, 48, 2)
         assert np.isfinite(np.asarray(flow)).all()
 
+    @pytest.mark.slow
     def test_basic_variant_builds(self, rng):
         model = RAFT(small=False, scale_factor=2, iters=1)
         x = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
@@ -68,6 +70,7 @@ class TestRAFT:
 
 
 class TestIRR:
+    @pytest.mark.slow
     def test_bidirectional_multiscale(self, rng):
         model = IRRPWCNet(return_levels=(-1, -2, -3, -4))
         x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)

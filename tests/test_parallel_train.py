@@ -187,6 +187,7 @@ class TestSequenceParallelTraining:
         """BasicVSR recurrence: the scan carry crosses time shards."""
         self._run_pair(tiny_model(), make_batch(rng, b=2, t=4, h=8, w=8))
 
+    @pytest.mark.slow
     def test_sp_step_matches_single_device_vrt(self, rng):
         """TMSA temporal windows straddle time-shard boundaries."""
         from vsrlab_tpu.models import TinyVRT
@@ -228,7 +229,10 @@ class TestTensorParallel:
 
 
 class TestEntryContract:
-    @pytest.mark.parametrize("n", [2, 4, 8])
+    @pytest.mark.parametrize(
+        "n",
+        [2, pytest.param(4, marks=pytest.mark.slow), pytest.param(8, marks=pytest.mark.slow)],
+    )
     def test_dryrun_multichip(self, n):
         import __graft_entry__ as g
 

@@ -8,6 +8,7 @@ quality relative to fp32.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vsrlab_tpu.core.metrics import psnr
 from vsrlab_tpu.data.datasets import SyntheticVSR
@@ -15,6 +16,7 @@ from vsrlab_tpu.models import RealBasicVSR
 
 
 class TestPrecision:
+    @pytest.mark.slow
     def test_bf16_psnr_within_tolerance(self, rng):
         """bf16 inference PSNR (vs HR) within 0.05 dB of fp32 inference."""
         ds = SyntheticVSR(num_videos=2, seq=4, height=32, width=32, scale=4)

@@ -109,6 +109,7 @@ class TestRealBasicVSRImport:
 
 
 class TestVRTImport:
+    @pytest.mark.slow
     def test_structure_matches_init(self, rng):
         """Synthesize a reference-layout TinyVRT state dict and convert."""
         from vsrlab_tpu.core.torch_import import load_torch_vrt

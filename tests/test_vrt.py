@@ -196,6 +196,7 @@ class TestTinyVRT:
         assert np.isfinite(np.asarray(sr)).all()
         np.testing.assert_array_equal(np.asarray(lq), np.asarray(x))
 
+    @pytest.mark.slow
     def test_flow_net_frozen(self, rng, model_and_vars):
         model, variables = model_and_vars
         x = jnp.asarray(rng.random((1, 4, 32, 32, 3)), jnp.float32)

@@ -125,7 +125,19 @@ def run_test_matrix(
         cv2 = None
 
     model, params, _cfg = load_test_model(cfg_dir)
-    forward = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    # measured-fastest inference compile options on v5e
+    # (docs/tpu_kernel_notes.md compiler-option sweep); TPU-only flags
+    opts = (
+        {
+            "xla_tpu_enable_experimental_fusion_cost_model": "true",
+            "xla_tpu_scoped_vmem_limit_kib": "32768",
+        }
+        if jax.default_backend() == "tpu"
+        else None
+    )
+    forward = jax.jit(
+        lambda p, x: model.apply({"params": p}, x), compiler_options=opts
+    )
 
     metric_fns = {"PSNR": psnr, "SSIM": ssim}
     rows: List[Dict] = []
