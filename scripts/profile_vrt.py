@@ -51,17 +51,6 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((1, t, h, w, 3)), jnp.float32)
 
-    model = TinyVRT(dtype=DT)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
-
-    @jax.jit
-    def full(v, x):
-        sr, _ = model.apply(v, x)
-        return sr
-
-    dt_full = timed(full, variables, x)
-    print(f"TinyVRT full forward ({t}f {h}x{w}): {dt_full*1e3:8.2f} ms")
-
     # SpyNet: both directions batched = 2*(t-1) pairs, 3 levels
     spynet = SpyNet(return_levels=(3, 4, 5), dtype=DT)
     pairs = jnp.asarray(rng.random((2 * (t - 1), h, w, 3)), jnp.float32)
@@ -117,6 +106,17 @@ def main():
 
     dt_tmsag = timed(tg_fwd, tv, feat)
     print(f"  TMSAG mutual depth-3:           {dt_tmsag*1e3:8.2f} ms")
+
+    model = TinyVRT(dtype=DT)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def full(v, x):
+        sr, _ = model.apply(v, x)
+        return sr
+
+    dt_full = timed(full, variables, x)
+    print(f"TinyVRT full forward ({t}f {h}x{w}): {dt_full*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":

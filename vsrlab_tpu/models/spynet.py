@@ -29,9 +29,9 @@ import math
 from typing import Any, List, Sequence, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from vsrlab_tpu.nn.blocks import Conv2d
 from vsrlab_tpu.ops.pooling import avg_pool2d
 from vsrlab_tpu.ops.resize import resize_bilinear
 from vsrlab_tpu.ops.warp import flow_warp
@@ -42,18 +42,105 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+class _ConvLeaf(nn.Module):
+    """Declares nn.Conv-layout params (kernel HWIO + bias) without
+    computing, so alternative compute paths can reuse the exact param
+    tree that ``Conv2d`` (which nests an nn.Conv as ``Conv_0``) creates."""
+
+    kh: int
+    kw: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        from vsrlab_tpu.nn.blocks import torch_conv_kernel_init, uniform_bias_init
+
+        k = self.param(
+            "kernel",
+            torch_conv_kernel_init,
+            (self.kh, self.kw, self.cin, self.cout),
+            jnp.float32,
+        )
+        b = self.param(
+            "bias",
+            uniform_bias_init(self.kh * self.kw * self.cin),
+            (self.cout,),
+            jnp.float32,
+        )
+        return k, b
+
+
+class _ConvParams(nn.Module):
+    kh: int
+    kw: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvLeaf(self.kh, self.kw, self.cin, self.cout, name="Conv_0")()
+
+
 class SpyNetBasicModule(nn.Module):
     """Per-level flow head: 5 × (7×7 conv), ReLU between, 8→32→64→32→16→2
-    (reference src/vsr/models/VRT/modules/spynet.py:65-79)."""
+    (reference src/vsr/models/VRT/modules/spynet.py:65-79).
+
+    TPU lowering: channel widths 8..64..2 leave most of the 128-lane MXU
+    tile padded, so by default the whole head runs in space-to-depth-by-2
+    form — 5×5 convs on 4×-wide channels with exactly-derived kernels
+    (:mod:`vsrlab_tpu.ops.s2d_conv`) — and converts back once at the end.
+    Math is identical (same products, different summation order); the
+    param tree matches the plain Conv2d layout, so checkpoints and the
+    torch importer are unaffected. Falls back to plain convs for odd
+    spatial sizes (coarsest pyramid level of small inputs).
+    """
 
     dtype: Dtype = None
+    use_s2d: bool = True
 
     @nn.compact
     def __call__(self, x):
-        for i, ch in enumerate((32, 64, 32, 16)):
-            x = Conv2d(ch, 7, 1, 3, dtype=self.dtype, name=f"conv_{i}")(x)
-            x = nn.relu(x)
-        return Conv2d(2, 7, 1, 3, dtype=self.dtype, name="conv_4")(x)
+        from vsrlab_tpu.ops.s2d_conv import (
+            conv_s2d,
+            depth_to_space,
+            s2d_bias,
+            s2d_kernel,
+            space_to_depth,
+        )
+
+        chans = [(x.shape[-1], 32), (32, 64), (64, 32), (32, 16), (16, 2)]
+        params = [
+            _ConvParams(7, 7, ci, co, name=f"conv_{i}")()
+            for i, (ci, co) in enumerate(chans)
+        ]
+        n, h, w, _ = x.shape
+        dt = self.dtype or x.dtype
+
+        if self.use_s2d and h % 2 == 0 and w % 2 == 0:
+            xs = space_to_depth(x).astype(dt)
+            for i, (k, b) in enumerate(params):
+                wp = s2d_kernel(k).astype(dt)
+                xs = conv_s2d(xs, wp) + s2d_bias(b).astype(dt)
+                if i < len(params) - 1:
+                    xs = nn.relu(xs)
+            return depth_to_space(xs)
+
+        for i, (k, b) in enumerate(params):
+            xc = x.astype(dt)
+            kc = k.astype(dt)
+            dn = jax.lax.conv_dimension_numbers(
+                xc.shape, kc.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            x = (
+                jax.lax.conv_general_dilated(
+                    xc, kc, (1, 1), [(3, 3), (3, 3)], dimension_numbers=dn
+                )
+                + b.astype(dt)
+            )
+            if i < len(params) - 1:
+                x = nn.relu(x)
+        return x
 
 
 class SpyNet(nn.Module):
