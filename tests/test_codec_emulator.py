@@ -63,6 +63,27 @@ def test_p_frames_accumulate_error(rng):
     assert p_err >= i_err * 0.5  # P-frames inherit I-frame error (static)
 
 
+def test_native_matches_numpy_reference(rng):
+    """The C++ fast path (libvsrio.vsrio_codec_degrade) must match the
+    numpy semantic reference to float noise, across gop/subsample/quality
+    settings and non-multiple-of-16 sizes."""
+    from vsrlab_tpu.data import native
+
+    if not (native.available() and native.codec_degrade(
+        np.zeros((1, 16, 16, 3), np.float32), 50.0
+    ) is not None):
+        import pytest
+
+        pytest.skip("native codec not available")
+    clip = _clip(rng, t=5, h=21, w=35)
+    for q, gop, ss in [(30.0, 4, True), (85.0, 8, False), (5.0, 2, True)]:
+        a = dct_codec_roundtrip(clip, q, gop=gop, subsample_chroma=ss)
+        b = dct_codec_roundtrip(
+            clip, q, gop=gop, subsample_chroma=ss, force_numpy=True
+        )
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_random_video_compression_severity_per_call(rng):
     """The augmentation must produce different degradations for different
     rng states (reference bug §7.4: severity frozen at init)."""

@@ -132,14 +132,28 @@ def crf_to_quality(crf: float) -> float:
 
 
 def dct_codec_roundtrip(
-    clip: np.ndarray, quality: float, gop: int = 8, subsample_chroma: bool = True
+    clip: np.ndarray,
+    quality: float,
+    gop: int = 8,
+    subsample_chroma: bool = True,
+    force_numpy: bool = False,
 ) -> np.ndarray:
     """Closed-GOP IPPP… codec round-trip on a float32 clip (T,H,W,3) in [0,1].
 
     I-frames quantize the frame's DCT; P-frames quantize the DCT of the
     residual against the previous *reconstructed* frame, so quantization
     error propagates through the GOP exactly like a real inter codec.
+
+    The hot path is native (`libvsrio.vsrio_codec_degrade`); the numpy
+    implementation below is the semantic reference and fallback
+    (``force_numpy=True`` selects it, used by the equivalence test).
     """
+    if not force_numpy:
+        from vsrlab_tpu.data import native
+
+        fast = native.codec_degrade(clip, quality, gop, subsample_chroma)
+        if fast is not None:
+            return fast
     t, h, w, _ = clip.shape
     ph, pw = (-h) % 16, (-w) % 16  # /16 so chroma planes are /8
     padded = np.pad(clip, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")

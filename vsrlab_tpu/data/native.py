@@ -73,6 +73,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int,
     ]
+    if hasattr(lib, "vsrio_codec_degrade"):
+        lib.vsrio_codec_degrade.restype = None
+        lib.vsrio_codec_degrade.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
     _lib = lib
     return _lib
 
@@ -131,4 +144,28 @@ def jpeg_degrade(clip: np.ndarray, quality: int, threads: int = 8):
     t, h, w, _ = clip.shape
     out = np.empty_like(clip)
     lib.vsrio_jpeg_degrade(_fptr(clip), t, h, w, int(quality), _fptr(out), threads)
+    return out
+
+
+def codec_degrade(
+    clip: np.ndarray,
+    quality: float,
+    gop: int = 8,
+    subsample_chroma: bool = True,
+    threads: int = 4,
+):
+    """Native DCT-residual codec round-trip (port of
+    data/codec_emulator.dct_codec_roundtrip). Returns None when the
+    native library is unavailable or lacks the symbol (older .so —
+    callers fall back to the numpy path)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vsrio_codec_degrade"):
+        return None
+    clip = np.ascontiguousarray(clip, np.float32)
+    t, h, w, _ = clip.shape
+    out = np.empty_like(clip)
+    lib.vsrio_codec_degrade(
+        _fptr(clip), t, h, w, float(quality), int(gop),
+        1 if subsample_chroma else 0, _fptr(out), threads,
+    )
     return out
