@@ -98,7 +98,9 @@ class TestRestoreSemantics:
         mgr.close()
         return lr, state
 
-    def test_restore_only_loads_weights_epoch_zero(self, tmp_path, rng):
+    def test_restore_loads_weights_and_resumes_epoch(self, tmp_path, rng):
+        """Reference src/core/utils.py:106-123: ANY restore resumes at
+        epoch+1; restore_opt only gates optimizer-state loading (ADVICE r2)."""
         from vsrlab_tpu.train.train import restore_state
 
         lr, saved = self._saved_ckpt(tmp_path, rng)
@@ -106,7 +108,7 @@ class TestRestoreSemantics:
         ckpt = CheckpointManager(str(tmp_path / "dst"))
         cfg = {"restore": str(tmp_path / "src")}
         state, start_epoch = restore_state(fresh, _D(cfg), ckpt, str(tmp_path / "dst"))
-        assert start_epoch == 0
+        assert start_epoch == 6
         np.testing.assert_array_equal(
             np.asarray(jax.tree.leaves(state.params)[0]),
             np.asarray(jax.tree.leaves(saved.params)[0]),

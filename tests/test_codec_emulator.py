@@ -63,6 +63,15 @@ def test_p_frames_accumulate_error(rng):
     assert p_err >= i_err * 0.5  # P-frames inherit I-frame error (static)
 
 
+def test_gop_zero_clamped(rng):
+    """gop<=0 must not ZeroDivisionError (numpy) or SIGFPE (native int mod);
+    it clamps to all-intra (ADVICE r2)."""
+    clip = _clip(rng, t=3)
+    out = dct_codec_roundtrip(clip, 50.0, gop=0)
+    ref = dct_codec_roundtrip(clip, 50.0, gop=1)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_native_matches_numpy_reference(rng):
     """The C++ fast path (libvsrio.vsrio_codec_degrade) must match the
     numpy semantic reference to float noise, across gop/subsample/quality

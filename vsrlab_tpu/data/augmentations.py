@@ -104,7 +104,9 @@ class RandomVideoCompression:
 
         crf = self._sample(rng, self.crf)
         fps = self._sample(rng, self.fps)
-        gop = int(np.clip(fps, 4, 16))
+        # keep the sampled fps range distinct: clipping at 16 would collapse
+        # every fps in 16..30 to the same GOP (ADVICE r2)
+        gop = int(np.clip(fps, 4, 32))
         return dct_codec_roundtrip(clip, crf_to_quality(crf), gop=gop)
 
 

@@ -148,6 +148,8 @@ def dct_codec_roundtrip(
     implementation below is the semantic reference and fallback
     (``force_numpy=True`` selects it, used by the equivalence test).
     """
+    # gop <= 0 would divide-by-zero (numpy path) or SIGFPE (native int mod)
+    gop = max(1, int(gop))
     if not force_numpy:
         from vsrlab_tpu.data import native
 

@@ -44,8 +44,6 @@ def _s2d_tap_map(k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     (iy, ix, mask) of shape (ks, ks, 2, 2, 2, 2) indexed
     [qy, qx, ry, rx, py, px] where ks = k//2 + 2."""
     half = k // 2
-    ks = half + 2  # s2d kernel extent: qy in [-(half+1)//2 - ...]
-    # compute exact qy range
     qmin = min((py + dy - half) // 2 for py in range(2) for dy in range(k))
     qmax = max((py + dy - half) // 2 for py in range(2) for dy in range(k))
     ks = qmax - qmin + 1

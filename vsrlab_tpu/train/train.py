@@ -44,8 +44,8 @@ def _accumulate(sums: Dict[str, float], metrics) -> Dict[str, float]:
 
 def restore_state(state, tcfg, ckpt: CheckpointManager, ckpt_dir: str):
     """Apply the reference's restore / restore_opt / finetune semantics
-    (src/core/utils.py:106-123): ``restore`` loads weights; ``restore_opt``
-    additionally loads optimizer state and resumes the epoch counter;
+    (src/core/utils.py:106-123): any ``restore`` loads weights and resumes
+    at ``epoch + 1``; ``restore_opt`` additionally loads optimizer state;
     ``finetune`` resets the epoch counter to 0 regardless.
 
     Returns ``(state, start_epoch)``.
@@ -57,9 +57,9 @@ def restore_state(state, tcfg, ckpt: CheckpointManager, ckpt_dir: str):
             template={"params": state.params, "opt_state": state.opt_state}
         )
         state = state.replace(params=payload["params"])
+        start_epoch = epoch + 1
         if tcfg.get("restore_opt"):
             state = state.replace(opt_state=payload["opt_state"], step=epoch)
-            start_epoch = epoch + 1
         if tcfg.get("finetune"):
             start_epoch = 0
             print("finetuning mode")
