@@ -48,6 +48,29 @@ class TestShapes:
         assert flows[3].shape == (1, 8, 8, 2)
 
 
+class TestSharedPyramid:
+    def test_adjacent_pairs_matches_pair_call(self, rng, spynet_vars):
+        """adjacent_pairs (one pyramid over unique frames, sliced into
+        pair stacks) must be bitwise identical to the generic pair call —
+        every pyramid op is per-plane."""
+        model = SpyNet()
+        b, t, h, w = 2, 4, 64, 96
+        clips = jnp.asarray(rng.random((b, t, h, w, 3)), jnp.float32)
+        x1 = clips[:, :-1].reshape(-1, h, w, 3)
+        x2 = clips[:, 1:].reshape(-1, h, w, 3)
+        ref = jnp.concatenate([x1, x2], axis=0)
+        supp = jnp.concatenate([x2, x1], axis=0)
+        via_pairs = model.apply(spynet_vars, ref, supp)
+        via_shared = model.apply(
+            spynet_vars, clips.reshape(-1, h, w, 3), t,
+            method=SpyNet.adjacent_pairs,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(via_pairs), np.asarray(via_shared)
+        )
+
+
+
 class TestTorchOracle:
     def test_pyramid_matches_torch(self, rng, spynet_vars):
         """Re-run the full pyramid in torch using the flax weights."""

@@ -94,3 +94,52 @@ def test_flow_warp_nearest4(rng):
         outs.append(_torch_grid_sample(x, g, "nearest", "zeros", True))
     want = np.concatenate(outs, axis=-1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestPackedGatherEquivalence:
+    """The packed-window single-take formulation (round 3) must match the
+    reference 4-corner formulation on every padding mode, including
+    out-of-range coords (zeros masks), odd widths (W padded to the group
+    multiple), and integer flows (bitwise)."""
+
+    @pytest.mark.parametrize("padding_mode", ["zeros", "border", "reflection"])
+    @pytest.mark.parametrize("shape", [(2, 9, 11, 3), (1, 8, 24, 3), (2, 5, 7, 1), (1, 6, 16, 8)])
+    def test_matches_corner_path(self, rng, padding_mode, shape, monkeypatch):
+        import vsrlab_tpu.ops.warp as warp_mod
+
+        x = rng.standard_normal(shape).astype(np.float32)
+        grid = (rng.uniform(-1.7, 1.7, size=(shape[0], 6, 7, 2)) + 1e-4).astype(np.float32)
+        packed = np.asarray(grid_sample(x, grid, "bilinear", padding_mode, True))
+        monkeypatch.setattr(warp_mod, "USE_PACKED_GATHER", False)
+        corner = np.asarray(grid_sample(x, grid, "bilinear", padding_mode, True))
+        np.testing.assert_allclose(packed, corner, rtol=1e-6, atol=1e-6)
+
+    def test_integer_flow_bitwise(self, rng):
+        x = rng.standard_normal((1, 8, 16, 3)).astype(np.float32)
+        flow = np.zeros((1, 8, 16, 2), np.float32)
+        flow[..., 0] = 3.0
+        flow[..., 1] = -2.0
+        got = np.asarray(flow_warp(x, flow, padding_mode="border"))
+        want = np.empty_like(x)
+        for j in range(8):
+            for i in range(16):
+                want[0, j, i] = x[0, min(max(j - 2, 0), 7), min(max(i + 3, 0), 15)]
+        np.testing.assert_array_equal(got, want)
+
+    def test_grad_matches_corner_path(self, rng, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        import vsrlab_tpu.ops.warp as warp_mod
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 16, 3)).astype(np.float32))
+        flow = jnp.asarray(rng.normal(0, 3, (2, 8, 16, 2)).astype(np.float32))
+
+        def loss(x, f):
+            return jnp.sum(flow_warp(x, f) ** 2)
+
+        gx_p, gf_p = jax.grad(loss, argnums=(0, 1))(x, flow)
+        monkeypatch.setattr(warp_mod, "USE_PACKED_GATHER", False)
+        gx_c, gf_c = jax.grad(loss, argnums=(0, 1))(x, flow)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_c), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_c), rtol=1e-4, atol=1e-4)

@@ -106,13 +106,11 @@ class BasicVSR(nn.Module):
 
     def compute_flow(self, lrs):
         """Both flow directions in one batched SpyNet call
-        (reference basicvsr.py:30-37)."""
+        (reference basicvsr.py:30-37). The image pyramid is shared across
+        pairs/directions (``SpyNet.adjacent_pairs``) — each unique frame
+        is resized/normalised/pooled once instead of ~3.6×."""
         b, t, h, w, c = lrs.shape
-        lrs_1 = lrs[:, :-1].reshape(-1, h, w, c)  # frames 0..t-2
-        lrs_2 = lrs[:, 1:].reshape(-1, h, w, c)   # frames 1..t-1
-        ref = jnp.concatenate([lrs_1, lrs_2], axis=0)
-        supp = jnp.concatenate([lrs_2, lrs_1], axis=0)
-        flows = self.spynet(ref, supp)
+        flows = self.spynet.adjacent_pairs(lrs.reshape(-1, h, w, c), t)
         if not self.train_flow:
             flows = jax.lax.stop_gradient(flows)
         fb, ff = jnp.split(flows, 2, axis=0)

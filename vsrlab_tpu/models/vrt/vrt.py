@@ -82,15 +82,13 @@ class _VRTBase(nn.Module):
         """Multi-scale flows, both directions in one SpyNet batch
         (reference get_flows, vrt.py:189-208)."""
         b, t, h, w, c = x.shape
-        x1 = x[:, :-1].reshape(-1, h, w, c)
-        x2 = x[:, 1:].reshape(-1, h, w, c)
         spynet = SpyNet(
             return_levels=tuple(self.flow_levels), dtype=self.dtype,
             name="optical_flow",
         )
-        flows = spynet(
-            jnp.concatenate([x1, x2], 0), jnp.concatenate([x2, x1], 0)
-        )
+        # shared-pyramid path: each unique frame resized/normalised/pooled
+        # once; output layout identical to the materialised-pair call
+        flows = spynet.adjacent_pairs(x.reshape(-1, h, w, c), t)
         if not isinstance(flows, list):
             flows = [flows]
         if not self.optical_flow_train:
