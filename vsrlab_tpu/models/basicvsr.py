@@ -80,6 +80,7 @@ class BasicVSR(nn.Module):
     # bit-identical: the directions never interact inside the body.
     fuse_directions: bool = True
     block_unroll: int = 0  # 0 = full unroll when fused, 4 otherwise
+    time_unroll: int = 1  # lax.scan unroll over the time axis
     dtype: Dtype = None
 
     def setup(self):
@@ -151,6 +152,7 @@ class BasicVSR(nn.Module):
                 split_rngs={"params": False},
                 in_axes=1,
                 out_axes=1,
+                unroll=self.time_unroll,
             )
             _, (outputs_backward, outputs_forward) = scan(
                 self, (feat0, feat0), (lrs_rev, bwd_flows, lrs, fwd_flows)

@@ -57,6 +57,7 @@ def create_mesh(
         ``{"data": 4, "time": 2}``. Sizes must multiply to the device count
         (a trailing ``-1`` axis size is inferred).
     """
+    explicit_devices = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if axes is None:
@@ -68,7 +69,13 @@ def create_mesh(
     if sizes.count(-1) == 1:
         known = int(np.prod([s for s in sizes if s != -1]))
         sizes[sizes.index(-1)] = n // known
-    if int(np.prod(sizes)) != n:
+    want = int(np.prod(sizes))
+    if want < n and not explicit_devices:
+        # a mesh smaller than the host (e.g. ddp=false -> 1-device mesh on
+        # an 8-device CPU host) runs on a device prefix
+        devices = devices[:want]
+        n = want
+    if want != n:
         raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
     dev_array = np.asarray(devices).reshape(sizes)
     return Mesh(dev_array, names)
