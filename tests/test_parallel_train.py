@@ -42,9 +42,16 @@ class TestMesh:
         mesh = create_mesh({"data": -1, "time": 2})
         assert mesh.shape == {"data": 4, "time": 2}
 
-    def test_bad_shape_raises(self):
+    def test_oversubscribed_raises(self):
         with pytest.raises(ValueError):
-            create_mesh({"data": 3, "time": 2})
+            create_mesh({"data": 3, "time": 3})  # 9 > 8 devices
+
+    def test_sub_host_mesh_uses_device_prefix(self):
+        # smaller-than-host meshes run on a device prefix (ddp=false on a
+        # multi-device host builds a 1-device mesh)
+        mesh = create_mesh({"data": 3, "time": 2})
+        assert mesh.devices.size == 6
+        assert create_mesh(1).devices.size == 1
 
     def test_shard_batch_places_on_devices(self, rng):
         mesh = create_mesh({"data": 8})

@@ -80,7 +80,14 @@ class BasicVSR(nn.Module):
     # bit-identical: the directions never interact inside the body.
     fuse_directions: bool = True
     block_unroll: int = 0  # 0 = full unroll when fused, 4 otherwise
-    time_unroll: int = 1  # lax.scan unroll over the time axis
+    # lax.scan unroll over the time axis. 0 = auto: fully unroll short
+    # clips (T <= 8), scan otherwise. Forward time is unchanged, but the
+    # scan BACKWARD carries a ~25% penalty the unrolled form avoids
+    # (measured 141 vs 177 ms fwd+bwd at the b=4 t=6 64x64 train shape —
+    # docs/tpu_kernel_notes.md round-3 train-step section). Long clips
+    # keep the scan: compile time scales with T and the backward gap
+    # amortises.
+    time_unroll: int = 0
     dtype: Dtype = None
 
     def setup(self):
@@ -152,7 +159,7 @@ class BasicVSR(nn.Module):
                 split_rngs={"params": False},
                 in_axes=1,
                 out_axes=1,
-                unroll=self.time_unroll,
+                unroll=self.time_unroll or (t if t <= 8 else 1),
             )
             _, (outputs_backward, outputs_forward) = scan(
                 self, (feat0, feat0), (lrs_rev, bwd_flows, lrs, fwd_flows)
