@@ -211,3 +211,50 @@ class TestTinyVRT:
             for g in jax.tree.leaves(grads["optical_flow"])
         )
         assert flow_norm == 0.0
+
+
+class TestFactoredMask:
+    """The per-axis factored mask (round 3 — full-scale VRT's dense mask
+    constant is 1.8 GB) must blank exactly the pairs the dense mask
+    blanks, and attention through it must match the dense-mask path."""
+
+    def test_factored_labels_expand_to_dense(self):
+        from vsrlab_tpu.models.vrt.window_attention import (
+            compute_mask_factored,
+        )
+
+        ws, ss = (2, 4, 4), (1, 2, 2)
+        dp, hp, wp = 4, 8, 8
+        dense = compute_mask(dp, hp, wp, ws, ss)
+        ld, lh, lw = compute_mask_factored(dp, hp, wp, ws, ss).labels
+        # combined label triple per (window, pos); differ on any axis
+        lab = (
+            ld[:, None, None, :, None, None] * 9
+            + lh[None, :, None, None, :, None] * 3
+            + lw[None, None, :, None, None, :]
+        ).reshape(-1, ws[0] * ws[1] * ws[2])
+        expect = np.where(lab[:, None, :] != lab[:, :, None], -100.0, 0.0)
+        np.testing.assert_array_equal(expect != 0, np.asarray(dense) != 0)
+
+    def test_attention_matches_dense_mask(self, rng):
+        from vsrlab_tpu.models.vrt.window_attention import (
+            WindowAttention,
+            compute_mask_factored,
+        )
+
+        ws = (2, 4, 4)
+        ss = (1, 2, 2)
+        dp, hp, wp = 4, 8, 8
+        nw = (dp // ws[0]) * (hp // ws[1]) * (wp // ws[2])
+        n = ws[0] * ws[1] * ws[2]
+        c = 12
+        x = jnp.asarray(rng.standard_normal((2 * nw, n, c)), jnp.float32)
+        attn = WindowAttention(c, ws, num_heads=2, mut_attn=True)
+        v = attn.init(jax.random.PRNGKey(0), x)
+        dense = jnp.asarray(compute_mask(dp, hp, wp, ws, ss))
+        fact = compute_mask_factored(dp, hp, wp, ws, ss)
+        out_d = attn.apply(v, x, dense)
+        out_f = attn.apply(v, x, fact)
+        np.testing.assert_allclose(
+            np.asarray(out_d), np.asarray(out_f), rtol=1e-5, atol=1e-6
+        )

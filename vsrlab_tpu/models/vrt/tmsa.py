@@ -26,7 +26,7 @@ from vsrlab_tpu.models.vrt.window_attention import (
     MlpGEGLU,
     WindowAttention,
     _dense,
-    compute_mask,
+    compute_mask_factored,
     get_window_size,
     window_partition,
     window_reverse,
@@ -153,8 +153,11 @@ class TMSAG(nn.Module):
         dp = -(-d // window_size[0]) * window_size[0]
         hp = -(-h // window_size[1]) * window_size[1]
         wp = -(-w // window_size[2]) * window_size[2]
-        mask = jnp.asarray(
-            compute_mask(dp, hp, wp, tuple(window_size), tuple(shift_size))
+        # factored per-axis mask: O(bytes) of constants instead of the
+        # dense (nW, N, N) tensor, which reaches 1.8 GB of embedded HLO
+        # constant for full VRT at 16×256×256 and overflows the compiler
+        mask = compute_mask_factored(
+            dp, hp, wp, tuple(window_size), tuple(shift_size)
         )
 
         for i in range(self.depth):

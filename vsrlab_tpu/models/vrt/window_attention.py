@@ -18,7 +18,7 @@ from __future__ import annotations
 import math
 from functools import lru_cache, reduce
 from operator import mul
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -108,6 +108,45 @@ def compute_mask(
     img = img.transpose(0, 2, 4, 1, 3, 5).reshape(-1, reduce(mul, ws))
     diff = img[:, None, :] - img[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class FactoredMask(NamedTuple):
+    """Per-axis factorisation of the shift-attention mask.
+
+    The dense ``compute_mask`` tensor is ``(nW, N, N)`` — 1.8 GB of
+    trace-time CONSTANT for full VRT at 16×256×256 (window (6,8,8) →
+    3072 windows × 384² entries), which overflows the compile service
+    and would be absurd to ship per TMSAG. But the Swin region labels
+    are a per-axis outer structure: the label of a cell is the triple of
+    per-axis region ids, and two cells may attend iff ALL axes agree. So
+    the additive mask factorises into three per-axis masks of shape
+    ``(nW_axis, ws_axis, ws_axis)`` (bytes, not gigabytes) added to the
+    logits through a reshape — cells differing on several axes receive
+    −200/−300 instead of −100, which is softmax-identical to below fp32
+    resolution (exp(−100) ≈ 4e−44).
+
+    ``labels[a]`` is an int32 ``(nW_a, ws_a)`` array of region ids for
+    axis ``a`` ∈ (d, h, w).
+    """
+
+    labels: Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+@lru_cache(maxsize=64)
+def compute_mask_factored(
+    dp: int, hp: int, wp: int, window_size: Tuple[int, ...], shift_size: Tuple[int, ...]
+) -> FactoredMask:
+    """Per-axis region labels matching ``compute_mask``'s slices
+    (reference window_attention.py:61-77): region 0 = ``[0, size-ws)``,
+    region 1 = ``[size-ws, size-ss)``, region 2 = ``[size-ss, size)``."""
+    labels = []
+    for size, ws, ss in zip((dp, hp, wp), window_size, shift_size):
+        lab = np.zeros(size, np.int32)
+        lab[size - ws :] = 1
+        if ss:
+            lab[size - ss :] = 2
+        labels.append(lab.reshape(size // ws, ws))
+    return FactoredMask(tuple(labels))
 
 
 @lru_cache(maxsize=32)
@@ -232,7 +271,26 @@ class WindowAttention(nn.Module):
             if with_bias:
                 rel = bias_table[rpi[:nq, :nq].reshape(-1)].reshape(nq, nq, nh)
                 attn = attn + rel.transpose(2, 0, 1)[None]
-            if mask is not None:
+            if isinstance(mask, FactoredMask):
+                ld, lh, lw = (jnp.asarray(l) for l in mask.labels)
+                (nwd, wsd), (nwh, wsh), (nww, wsw) = (
+                    ld.shape, lh.shape, lw.shape,
+                )
+                dq = nq // (wsh * wsw)  # mutual attn passes half windows
+                ldq = ld[:, :dq]
+                neg = jnp.asarray(-100.0, attn.dtype)
+                md = jnp.where(ldq[:, :, None] != ldq[:, None, :], neg, 0)
+                mh = jnp.where(lh[:, :, None] != lh[:, None, :], neg, 0)
+                mw = jnp.where(lw[:, :, None] != lw[:, None, :], neg, 0)
+                a = attn.reshape(
+                    b_ // (nwd * nwh * nww),
+                    nwd, nwh, nww, nh, dq, wsh, wsw, dq, wsh, wsw,
+                )
+                a = a + md[None, :, None, None, None, :, None, None, :, None, None]
+                a = a + mh[None, None, :, None, None, None, :, None, None, :, None]
+                a = a + mw[None, None, None, :, None, None, None, :, None, None, :]
+                attn = a.reshape(b_, nh, nq, nq)
+            elif mask is not None:
                 nw = mask.shape[0]
                 attn = attn.reshape(b_ // nw, nw, nh, nq, nq) + mask[:, :nq, :nq].astype(attn.dtype)[None, :, None]
                 attn = attn.reshape(b_, nh, nq, nq)
