@@ -143,3 +143,19 @@ class TestPackedGatherEquivalence:
         gx_c, gf_c = jax.grad(loss, argnums=(0, 1))(x, flow)
         np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_c), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_c), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_nearest4_packed_matches_per_tap(rng, padding_mode, monkeypatch):
+    """Packed-window nearest4 (one take + 4 one-hot selects) must match
+    the per-tap path, including integer coords where ceil == floor."""
+    import vsrlab_tpu.ops.warp as warp_mod
+
+    x = rng.standard_normal((2, 9, 11, 3)).astype(np.float32)
+    flow = rng.normal(0, 3, (2, 9, 11, 2)).astype(np.float32)
+    flow[0, 0, 0] = (2.0, -1.0)  # exact-integer taps
+    flow[0, 1, 1] = (100.0, 100.0)  # far out of range
+    packed = np.asarray(flow_warp(x, flow, "nearest4", padding_mode))
+    monkeypatch.setattr(warp_mod, "USE_PACKED_GATHER", False)
+    per_tap = np.asarray(flow_warp(x, flow, "nearest4", padding_mode))
+    np.testing.assert_array_equal(packed, per_tap)

@@ -111,24 +111,28 @@ def compute_mask(
 
 
 class FactoredMask(NamedTuple):
-    """Per-axis factorisation of the shift-attention mask.
+    """Window-type factorisation of the shift-attention mask.
 
     The dense ``compute_mask`` tensor is ``(nW, N, N)`` — 1.8 GB of
     trace-time CONSTANT for full VRT at 16×256×256 (window (6,8,8) →
     3072 windows × 384² entries), which overflows the compile service
-    and would be absurd to ship per TMSAG. But the Swin region labels
-    are a per-axis outer structure: the label of a cell is the triple of
-    per-axis region ids, and two cells may attend iff ALL axes agree. So
-    the additive mask factorises into three per-axis masks of shape
-    ``(nW_axis, ws_axis, ws_axis)`` (bytes, not gigabytes) added to the
-    logits through a reshape — cells differing on several axes receive
-    −200/−300 instead of −100, which is softmax-identical to below fp32
-    resolution (exp(−100) ≈ 4e−44).
+    and would be absurd to ship per TMSAG. But the Swin region structure
+    admits only a handful of DISTINCT window masks: along each axis,
+    every window except the LAST sees one uniform region (the region
+    boundaries live at ``size-ws`` and ``size-ss``, both inside the last
+    window), so a window's mask depends only on which axes it is last
+    along — at most 2³ = 8 distinct ``(N, N)`` masks. We ship those
+    (``masks``: (n_types, N, N), ≤ 4.7 MB at N=384) plus a per-window
+    type id (``type_ids``: (nW,)), and the attention add becomes a
+    type-id gather that XLA fuses into the logits — no giant constant,
+    no giant runtime tensor, no awkward reshapes.
 
-    ``labels[a]`` is an int32 ``(nW_a, ws_a)`` array of region ids for
-    axis ``a`` ∈ (d, h, w).
+    ``labels`` keeps the raw per-axis region labels ((nW_a, ws_a) each)
+    for tests.
     """
 
+    masks: np.ndarray
+    type_ids: np.ndarray
     labels: Tuple[np.ndarray, np.ndarray, np.ndarray]
 
 
@@ -136,9 +140,10 @@ class FactoredMask(NamedTuple):
 def compute_mask_factored(
     dp: int, hp: int, wp: int, window_size: Tuple[int, ...], shift_size: Tuple[int, ...]
 ) -> FactoredMask:
-    """Per-axis region labels matching ``compute_mask``'s slices
-    (reference window_attention.py:61-77): region 0 = ``[0, size-ws)``,
-    region 1 = ``[size-ws, size-ss)``, region 2 = ``[size-ss, size)``."""
+    """Window-type masks matching ``compute_mask``'s slices
+    (reference window_attention.py:61-77): per-axis region 0 =
+    ``[0, size-ws)``, region 1 = ``[size-ws, size-ss)``, region 2 =
+    ``[size-ss, size)``; cells may attend iff every axis label agrees."""
     labels = []
     for size, ws, ss in zip((dp, hp, wp), window_size, shift_size):
         lab = np.zeros(size, np.int32)
@@ -146,7 +151,42 @@ def compute_mask_factored(
         if ss:
             lab[size - ss :] = 2
         labels.append(lab.reshape(size // ws, ws))
-    return FactoredMask(tuple(labels))
+
+    # per axis: row 0 = interior windows (uniform), row 1 = last window
+    nws = [l.shape[0] for l in labels]
+    axis_rows = [
+        np.stack([np.zeros_like(l[0]), l[-1]]) if l.shape[0] > 1 else l[-1:]
+        for l in labels
+    ]
+    n_types = [r.shape[0] for r in axis_rows]
+    # combined label per type over window positions (d-major flatten)
+    combos = []
+    for td in range(n_types[0]):
+        for th in range(n_types[1]):
+            for tw in range(n_types[2]):
+                lab3 = (
+                    axis_rows[0][td][:, None, None] * 9
+                    + axis_rows[1][th][None, :, None] * 3
+                    + axis_rows[2][tw][None, None, :]
+                ).reshape(-1)
+                combos.append(lab3)
+    combos = np.stack(combos)  # (n_types_total, N)
+    masks = np.where(
+        combos[:, :, None] != combos[:, None, :], -100.0, 0.0
+    ).astype(np.float32)
+
+    # per-window type id: is-last flag per axis
+    def is_last(nw):
+        f = np.zeros(nw, np.int64)
+        f[-1] = 1 if nw > 1 else 0
+        return f
+
+    fd, fh, fw = (is_last(n) for n in nws)
+    sh = (n_types[1] * n_types[2], n_types[2], 1)
+    type_ids = (
+        fd[:, None, None] * sh[0] + fh[None, :, None] * sh[1] + fw[None, None, :]
+    ).reshape(-1).astype(np.int32)
+    return FactoredMask(masks, type_ids, tuple(labels))
 
 
 @lru_cache(maxsize=32)
@@ -272,24 +312,15 @@ class WindowAttention(nn.Module):
                 rel = bias_table[rpi[:nq, :nq].reshape(-1)].reshape(nq, nq, nh)
                 attn = attn + rel.transpose(2, 0, 1)[None]
             if isinstance(mask, FactoredMask):
-                ld, lh, lw = (jnp.asarray(l) for l in mask.labels)
-                (nwd, wsd), (nwh, wsh), (nww, wsw) = (
-                    ld.shape, lh.shape, lw.shape,
-                )
-                dq = nq // (wsh * wsw)  # mutual attn passes half windows
-                ldq = ld[:, :dq]
-                neg = jnp.asarray(-100.0, attn.dtype)
-                md = jnp.where(ldq[:, :, None] != ldq[:, None, :], neg, 0)
-                mh = jnp.where(lh[:, :, None] != lh[:, None, :], neg, 0)
-                mw = jnp.where(lw[:, :, None] != lw[:, None, :], neg, 0)
-                a = attn.reshape(
-                    b_ // (nwd * nwh * nww),
-                    nwd, nwh, nww, nh, dq, wsh, wsw, dq, wsh, wsw,
-                )
-                a = a + md[None, :, None, None, None, :, None, None, :, None, None]
-                a = a + mh[None, None, :, None, None, None, :, None, None, :, None]
-                a = a + mw[None, None, None, :, None, None, None, :, None, None, :]
-                attn = a.reshape(b_, nh, nq, nq)
+                # ≤8 distinct (N, N) masks indexed by per-window type: the
+                # gather fuses into the logits add (no (nW, N, N) tensor)
+                m8 = jnp.asarray(mask.masks[:, :nq, :nq], attn.dtype)
+                tid = jnp.asarray(mask.type_ids)
+                nw = tid.shape[0]
+                attn = (
+                    attn.reshape(b_ // nw, nw, nh, nq, nq)
+                    + m8[tid][None, :, None]
+                ).reshape(b_, nh, nq, nq)
             elif mask is not None:
                 nw = mask.shape[0]
                 attn = attn.reshape(b_ // nw, nw, nh, nq, nq) + mask[:, :nq, :nq].astype(attn.dtype)[None, :, None]

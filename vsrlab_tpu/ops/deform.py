@@ -69,12 +69,15 @@ def deform_conv2d(
 
     # Fold offset groups into the batch axis so each tap is ONE dense
     # gather of shape (N*G, Ho, Wo, Cg) — no per-group Python loop (VRT
-    # uses G=16, which would otherwise emit 9*16 tiny gathers).
+    # uses G=16, which would otherwise emit 9*16 tiny gathers). The
+    # operand keeps the INPUT dtype: at full-VRT scale the packed-window
+    # gather tensors are multi-GB, and a bf16 model samples/multiplies
+    # in bf16 (fp32 inputs are unchanged; coordinates stay fp32 inside
+    # the sampler either way).
     xg = (
         x.reshape(n, h, w, groups, cg)
         .transpose(0, 3, 1, 2, 4)
         .reshape(n * groups, h, w, cg)
-        .astype(compute_dtype)
     )
     off_b = off.transpose(0, 3, 1, 2, 4, 5).reshape(n * groups, ho, wo, taps, 2)
     if mask is not None:
@@ -87,15 +90,16 @@ def deform_conv2d(
         px = (xs + kx * dilation)[None] + off_b[..., k, 1]
         s = sample_pixel_coords(
             xg, px, py, mode="bilinear", padding_mode="zeros"
-        )  # (N*G, Ho, Wo, Cg)
+        )  # (N*G, Ho, Wo, Cg) in x.dtype
         if mask is not None:
-            s = s * m_b[..., k][..., None]
+            s = s * m_b[..., k][..., None].astype(x.dtype)
         s = s.reshape(n, groups, ho, wo, cg).transpose(0, 2, 3, 1, 4)
         sampled_taps.append(s.reshape(n, ho, wo, cin))
 
-    # (N, Ho, Wo, taps*Cin) @ (taps*Cin, Cout): one MXU matmul.
+    # (N, Ho, Wo, taps*Cin) @ (taps*Cin, Cout): one MXU matmul with fp32
+    # accumulation.
     cols = jnp.concatenate(sampled_taps, axis=-1)
-    w_mat = weight.astype(compute_dtype).reshape(taps * cin, cout)
+    w_mat = weight.astype(x.dtype).reshape(taps * cin, cout)
     out = jnp.matmul(cols, w_mat, preferred_element_type=compute_dtype)
     if bias is not None:
         out = out + bias.astype(compute_dtype)

@@ -129,8 +129,12 @@ def _bilinear_packed(x, ix, iy, padding_mode: str):
     rx0 = x0c - g0 * gp
     py0 = y0c - y0i
 
+    # pack and gather in the INPUT dtype (bf16 halves both the packed
+    # copies and the gathered-window tensor — at full-VRT deform scale
+    # these are multi-GB); the upcast to the fp32 compute dtype happens
+    # on the gathered windows, which is numerically identical
     xpad = x if wp == w else jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
-    xp = xpad.reshape(n, h, wg, gp * c).astype(dt)
+    xp = xpad.reshape(n, h, wg, gp * c)
     xp2 = jnp.concatenate([xp[:, :, :-1], xp[:, :, 1:]], axis=-1)
     xp4 = jnp.concatenate([xp2[:, :-1], xp2[:, 1:]], axis=-1)
     xf = xp4.reshape(n * (h - 1) * (wg - 1), 4 * gp * c)
@@ -138,7 +142,7 @@ def _bilinear_packed(x, ix, iy, padding_mode: str):
     lead = (n,) + (1,) * (ix.ndim - 1)
     base = (jnp.arange(n, dtype=jnp.int32) * ((h - 1) * (wg - 1))).reshape(lead)
     lin = (base + y0i * (wg - 1) + g0).reshape(-1)
-    g = jnp.take(xf, lin, axis=0).reshape(ix.shape + (2, 2 * gp, c))
+    g = jnp.take(xf, lin, axis=0).reshape(ix.shape + (2, 2 * gp, c)).astype(dt)
 
     k = jnp.arange(2 * gp, dtype=jnp.int32)
     selx = wx0[..., None] * (k == rx0[..., None]).astype(dt) + wx1[
@@ -150,6 +154,69 @@ def _bilinear_packed(x, ix, iy, padding_mode: str):
     ] * (ky == (py0 + 1)[..., None]).astype(dt)
     w2 = sely[..., :, None] * selx[..., None, :]
     return jnp.einsum("...yk,...ykc->...c", w2, g)
+
+
+def _nearest4_packed(x, ix, iy, padding_mode: str):
+    """All four nearest taps (floor/ceil × x/y) from ONE packed-window
+    take (VRT ``nearest4`` aligned-image warping — reference
+    VRT/modules/spynet.py:39-54). Channel order matches the tap order
+    (floor,floor), (floor,ceil), (ceil,floor), (ceil,ceil) of (x, y).
+    Returns None when the shape can't host the window."""
+    n, h, w, c = x.shape
+    gp = _window_group(c)
+    wp = -(-w // gp) * gp
+    wg = wp // gp
+    if h < 2 or wg < 2:
+        return None
+    dt = ix.dtype
+
+    xf0 = jnp.floor(ix)
+    yf0 = jnp.floor(iy)
+    # torch ceil: equals floor at exact integers (NOT floor+1)
+    xc0 = jnp.ceil(ix)
+    yc0 = jnp.ceil(iy)
+
+    def valid(v, size):
+        if padding_mode != "zeros":
+            return jnp.ones_like(v, dtype=jnp.bool_)
+        return (v >= 0) & (v <= size - 1)
+
+    vxf, vxc = valid(xf0, w), valid(xc0, w)
+    vyf, vyc = valid(yf0, h), valid(yc0, h)
+
+    x0c = jnp.clip(xf0, -1.0, w).astype(jnp.int32)
+    y0c = jnp.clip(yf0, -1.0, h).astype(jnp.int32)
+    x0i = jnp.clip(x0c, 0, w - 2)
+    y0i = jnp.clip(y0c, 0, h - 2)
+    g0 = jnp.minimum(x0i // gp, wg - 2)
+    rxf = x0c - g0 * gp
+    rxc = jnp.clip(xc0, -1.0, w).astype(jnp.int32) - g0 * gp
+    pyf = y0c - y0i
+    pyc = jnp.clip(yc0, -1.0, h).astype(jnp.int32) - y0i
+
+    xpad = x if wp == w else jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+    xp = xpad.reshape(n, h, wg, gp * c)  # input dtype: half the bytes at bf16
+    xp2 = jnp.concatenate([xp[:, :, :-1], xp[:, :, 1:]], axis=-1)
+    xp4 = jnp.concatenate([xp2[:, :-1], xp2[:, 1:]], axis=-1)
+    xflat = xp4.reshape(n * (h - 1) * (wg - 1), 4 * gp * c)
+
+    lead = (n,) + (1,) * (ix.ndim - 1)
+    base = (jnp.arange(n, dtype=jnp.int32) * ((h - 1) * (wg - 1))).reshape(lead)
+    lin = (base + y0i * (wg - 1) + g0).reshape(-1)
+    g = jnp.take(xflat, lin, axis=0).reshape(ix.shape + (2, 2 * gp, c))
+
+    k = jnp.arange(2 * gp, dtype=jnp.int32)
+    ky = jnp.arange(2, dtype=jnp.int32)
+    selxf = (vxf[..., None] & (k == rxf[..., None])).astype(dt)
+    selxc = (vxc[..., None] & (k == rxc[..., None])).astype(dt)
+    selyf = (vyf[..., None] & (ky == pyf[..., None])).astype(dt)
+    selyc = (vyc[..., None] & (ky == pyc[..., None])).astype(dt)
+
+    outs = []
+    for sx, sy in ((selxf, selyf), (selxf, selyc), (selxc, selyf), (selxc, selyc)):
+        w2 = sy[..., :, None] * sx[..., None, :]
+        outs.append(jnp.einsum("...yk,...ykc->...c", w2, g))
+    return jnp.concatenate(outs, axis=-1)
 
 
 def _gather_2d(x_flat, idx_y, idx_x, h: int, w: int):
@@ -306,6 +373,16 @@ def flow_warp(
     # bitwise-stable for integer flows (BASELINE.md north-star) and cheaper.
 
     if interpolation == "nearest4":
+        # reflection reflects each tap AFTER floor/ceil — not expressible
+        # as a pre-clip, so it keeps the per-tap path
+        if USE_PACKED_GATHER and padding_mode in ("zeros", "border"):
+            cx, cy = _pad_coords(vx, vy, h, w, padding_mode, align_corners)
+            out = _nearest4_packed(
+                x, cx.astype(compute_dtype), cy.astype(compute_dtype),
+                padding_mode,
+            )
+            if out is not None:
+                return out.astype(x.dtype)
         taps = [
             (jnp.floor(vx), jnp.floor(vy)),
             (jnp.floor(vx), jnp.ceil(vy)),
