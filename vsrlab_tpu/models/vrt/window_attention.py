@@ -312,15 +312,20 @@ class WindowAttention(nn.Module):
                 rel = bias_table[rpi[:nq, :nq].reshape(-1)].reshape(nq, nq, nh)
                 attn = attn + rel.transpose(2, 0, 1)[None]
             if isinstance(mask, FactoredMask):
-                # ≤8 distinct (N, N) masks indexed by per-window type: the
-                # gather fuses into the logits add (no (nW, N, N) tensor)
-                m8 = jnp.asarray(mask.masks[:, :nq, :nq], attn.dtype)
+                # ≤8 distinct (N, N) masks selected by per-window type.
+                # A gather (masks[type_ids]) would materialise the full
+                # (nW, N, N) tensor — 1.69 GB at full-VRT scale, TPU
+                # gathers don't fuse — so select with a fusible one-hot
+                # broadcast-add chain instead (inputs: (nW,) one-hots and
+                # the ≤8 small masks).
+                nw = mask.type_ids.shape[0]
                 tid = jnp.asarray(mask.type_ids)
-                nw = tid.shape[0]
-                attn = (
-                    attn.reshape(b_ // nw, nw, nh, nq, nq)
-                    + m8[tid][None, :, None]
-                ).reshape(b_, nh, nq, nq)
+                a5 = attn.reshape(b_ // nw, nw, nh, nq, nq)
+                for t in range(mask.masks.shape[0]):
+                    m_t = jnp.asarray(mask.masks[t, :nq, :nq], attn.dtype)
+                    eq_t = (tid == t).astype(attn.dtype)
+                    a5 = a5 + eq_t[None, :, None, None, None] * m_t
+                attn = a5.reshape(b_, nh, nq, nq)
             elif mask is not None:
                 nw = mask.shape[0]
                 attn = attn.reshape(b_ // nw, nw, nh, nq, nq) + mask[:, :nq, :nq].astype(attn.dtype)[None, :, None]

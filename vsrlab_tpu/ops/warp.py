@@ -142,7 +142,14 @@ def _bilinear_packed(x, ix, iy, padding_mode: str):
     lead = (n,) + (1,) * (ix.ndim - 1)
     base = (jnp.arange(n, dtype=jnp.int32) * ((h - 1) * (wg - 1))).reshape(lead)
     lin = (base + y0i * (wg - 1) + g0).reshape(-1)
-    g = jnp.take(xf, lin, axis=0).reshape(ix.shape + (2, 2 * gp, c)).astype(dt)
+    g = jnp.take(xf, lin, axis=0).reshape(ix.shape + (2, 2 * gp, c))
+    if g.dtype != dt:
+        # keep the gather's OUTPUT in the input dtype: without the barrier
+        # XLA fuses the upcast into the gather and materialises the window
+        # tensor in fp32 (5.27 GB at full-VRT deform scale); behind it the
+        # convert fuses into the contraction instead
+        g = jax.lax.optimization_barrier(g)
+        g = g.astype(dt)
 
     k = jnp.arange(2 * gp, dtype=jnp.int32)
     selx = wx0[..., None] * (k == rx0[..., None]).astype(dt) + wx1[
@@ -204,6 +211,8 @@ def _nearest4_packed(x, ix, iy, padding_mode: str):
     base = (jnp.arange(n, dtype=jnp.int32) * ((h - 1) * (wg - 1))).reshape(lead)
     lin = (base + y0i * (wg - 1) + g0).reshape(-1)
     g = jnp.take(xflat, lin, axis=0).reshape(ix.shape + (2, 2 * gp, c))
+    if g.dtype != dt:
+        g = jax.lax.optimization_barrier(g)  # see _bilinear_packed
 
     k = jnp.arange(2 * gp, dtype=jnp.int32)
     ky = jnp.arange(2, dtype=jnp.int32)
