@@ -302,37 +302,70 @@ class WindowAttention(nn.Module):
             t = t.reshape(b_, -1, nh, hd).transpose(0, 2, 1, 3)  # B_, nH, N, hd
             return self._shard_heads(t)
 
+        # fp32 logits budget per attention call: above this, windows are
+        # processed in lax.map chunks so peak memory stays bounded — the
+        # QKᵀ tensor for full VRT at 16×256×256 is (3072, 6, 384, 384)
+        # f32 = 10.1 GB unchunked, which alone overflows the 16 GB chip
+        _LOGITS_BUDGET = 512 * 1024 ** 2
+
         def attention(q, k, v, with_bias: bool):
             nq = q.shape[2]
-            attn = jnp.einsum(
-                "bhqd,bhkd->bhqk", q * scale, k,
-                preferred_element_type=jnp.float32,
-            )
-            if with_bias:
-                rel = bias_table[rpi[:nq, :nq].reshape(-1)].reshape(nq, nq, nh)
-                attn = attn + rel.transpose(2, 0, 1)[None]
+
+            def core(q, k, v, tid):
+                """One chunk: (B_c, nH, nq, hd) + per-row window-type ids."""
+                attn = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q * scale, k,
+                    preferred_element_type=jnp.float32,
+                )
+                if with_bias:
+                    rel = bias_table[rpi[:nq, :nq].reshape(-1)].reshape(nq, nq, nh)
+                    attn = attn + rel.transpose(2, 0, 1)[None]
+                if isinstance(mask, FactoredMask):
+                    # ≤8 distinct (N, N) masks selected per window row by
+                    # a one-hot broadcast-add chain (a masks[type_ids]
+                    # gather would materialise (nW, N, N) — 1.69 GB at
+                    # full-VRT scale — because TPU gathers don't fuse)
+                    for t in range(mask.masks.shape[0]):
+                        m_t = jnp.asarray(mask.masks[t, :nq, :nq], attn.dtype)
+                        eq_t = (tid == t).astype(attn.dtype)
+                        attn = attn + eq_t[:, None, None, None] * m_t
+                elif mask is not None:
+                    nw = mask.shape[0]
+                    bc = attn.shape[0]
+                    attn = attn.reshape(bc // nw, nw, nh, nq, nq) + mask[
+                        :, :nq, :nq
+                    ].astype(attn.dtype)[None, :, None]
+                    attn = attn.reshape(bc, nh, nq, nq)
+                attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+                out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+                return out.transpose(0, 2, 1, 3).reshape(attn.shape[0], nq, -1)
+
             if isinstance(mask, FactoredMask):
-                # ≤8 distinct (N, N) masks selected by per-window type.
-                # A gather (masks[type_ids]) would materialise the full
-                # (nW, N, N) tensor — 1.69 GB at full-VRT scale, TPU
-                # gathers don't fuse — so select with a fusible one-hot
-                # broadcast-add chain instead (inputs: (nW,) one-hots and
-                # the ≤8 small masks).
                 nw = mask.type_ids.shape[0]
-                tid = jnp.asarray(mask.type_ids)
-                a5 = attn.reshape(b_ // nw, nw, nh, nq, nq)
-                for t in range(mask.masks.shape[0]):
-                    m_t = jnp.asarray(mask.masks[t, :nq, :nq], attn.dtype)
-                    eq_t = (tid == t).astype(attn.dtype)
-                    a5 = a5 + eq_t[None, :, None, None, None] * m_t
-                attn = a5.reshape(b_, nh, nq, nq)
-            elif mask is not None:
-                nw = mask.shape[0]
-                attn = attn.reshape(b_ // nw, nw, nh, nq, nq) + mask[:, :nq, :nq].astype(attn.dtype)[None, :, None]
-                attn = attn.reshape(b_, nh, nq, nq)
-            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-            return out.transpose(0, 2, 1, 3).reshape(b_, nq, -1)
+                tid_full = jnp.tile(jnp.asarray(mask.type_ids), b_ // nw)
+            else:
+                tid_full = jnp.zeros((b_,), jnp.int32)
+
+            row_bytes = nh * nq * nq * 4
+            chunk = b_
+            chunkable = mask is None or isinstance(mask, FactoredMask)
+            if chunkable and b_ * row_bytes > _LOGITS_BUDGET:
+                target = max(1, _LOGITS_BUDGET // row_bytes)
+                chunk = 1
+                for d in range(1, target + 1):
+                    if b_ % d == 0:
+                        chunk = d
+            if chunk == b_:
+                return core(q, k, v, tid_full)
+
+            def rs(t):
+                return t.reshape((b_ // chunk, chunk) + t.shape[1:])
+
+            out = jax.lax.map(
+                lambda args: core(*args),
+                (rs(q), rs(k), rs(v), rs(tid_full)),
+            )
+            return out.reshape((b_,) + out.shape[2:])
 
         # self attention with relative-position bias
         qkv = _dense(3 * c, c, self.qkv_bias, self.dtype, "qkv_self")(x)
