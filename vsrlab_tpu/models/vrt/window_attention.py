@@ -302,96 +302,104 @@ class WindowAttention(nn.Module):
             t = t.reshape(b_, -1, nh, hd).transpose(0, 2, 1, 3)  # B_, nH, N, hd
             return self._shard_heads(t)
 
-        # fp32 logits budget per attention call: above this, windows are
-        # processed in lax.map chunks so peak memory stays bounded — the
-        # QKᵀ tensor for full VRT at 16×256×256 is (3072, 6, 384, 384)
-        # f32 = 10.1 GB unchunked, which alone overflows the 16 GB chip
-        _LOGITS_BUDGET = 512 * 1024 ** 2
+        # fp32 logits budget per block: above this, windows are processed
+        # in lax.map chunks so peak memory stays bounded — the QKᵀ tensor
+        # for full VRT at 16×256×256 is (3072, 6, 384, 384) f32 = 10.1 GB
+        # unchunked, which alone overflows the 16 GB chip. Self and both
+        # mutual attentions run inside ONE map body per block: XLA's
+        # overlay allocator charges every distinct loop body, so fewer,
+        # fatter bodies beat many thin ones (measured 5.9 GB of overlays
+        # with three maps per block at a 512 MB budget).
+        _LOGITS_BUDGET = 96 * 1024 ** 2
 
-        def attention(q, k, v, with_bias: bool):
+        def core(q, k, v, tid, with_bias: bool):
+            """Windowed attention on one chunk: (B_c, nH, nq, hd)."""
             nq = q.shape[2]
-
-            def core(q, k, v, tid):
-                """One chunk: (B_c, nH, nq, hd) + per-row window-type ids."""
-                attn = jnp.einsum(
-                    "bhqd,bhkd->bhqk", q * scale, k,
-                    preferred_element_type=jnp.float32,
-                )
-                if with_bias:
-                    rel = bias_table[rpi[:nq, :nq].reshape(-1)].reshape(nq, nq, nh)
-                    attn = attn + rel.transpose(2, 0, 1)[None]
-                if isinstance(mask, FactoredMask):
-                    # ≤8 distinct (N, N) masks selected per window row by
-                    # a one-hot broadcast-add chain (a masks[type_ids]
-                    # gather would materialise (nW, N, N) — 1.69 GB at
-                    # full-VRT scale — because TPU gathers don't fuse)
-                    for t in range(mask.masks.shape[0]):
-                        m_t = jnp.asarray(mask.masks[t, :nq, :nq], attn.dtype)
-                        eq_t = (tid == t).astype(attn.dtype)
-                        attn = attn + eq_t[:, None, None, None] * m_t
-                elif mask is not None:
-                    nw = mask.shape[0]
-                    bc = attn.shape[0]
-                    attn = attn.reshape(bc // nw, nw, nh, nq, nq) + mask[
-                        :, :nq, :nq
-                    ].astype(attn.dtype)[None, :, None]
-                    attn = attn.reshape(bc, nh, nq, nq)
-                attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-                out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-                return out.transpose(0, 2, 1, 3).reshape(attn.shape[0], nq, -1)
-
-            if isinstance(mask, FactoredMask):
-                nw = mask.type_ids.shape[0]
-                tid_full = jnp.tile(jnp.asarray(mask.type_ids), b_ // nw)
-            else:
-                tid_full = jnp.zeros((b_,), jnp.int32)
-
-            row_bytes = nh * nq * nq * 4
-            chunk = b_
-            chunkable = mask is None or isinstance(mask, FactoredMask)
-            if chunkable and b_ * row_bytes > _LOGITS_BUDGET:
-                target = max(1, _LOGITS_BUDGET // row_bytes)
-                chunk = 1
-                for d in range(1, target + 1):
-                    if b_ % d == 0:
-                        chunk = d
-            if chunk == b_:
-                return core(q, k, v, tid_full)
-
-            def rs(t):
-                return t.reshape((b_ // chunk, chunk) + t.shape[1:])
-
-            out = jax.lax.map(
-                lambda args: core(*args),
-                (rs(q), rs(k), rs(v), rs(tid_full)),
+            attn = jnp.einsum(
+                "bhqd,bhkd->bhqk", q * scale, k,
+                preferred_element_type=jnp.float32,
             )
-            return out.reshape((b_,) + out.shape[2:])
+            if with_bias:
+                rel = bias_table[rpi[:nq, :nq].reshape(-1)].reshape(nq, nq, nh)
+                attn = attn + rel.transpose(2, 0, 1)[None]
+            if isinstance(mask, FactoredMask):
+                # ≤8 distinct (N, N) masks selected per window row by a
+                # one-hot broadcast-add chain (a masks[type_ids] gather
+                # would materialise (nW, N, N) — 1.69 GB at full-VRT
+                # scale — because TPU gathers don't fuse)
+                for t in range(mask.masks.shape[0]):
+                    m_t = jnp.asarray(mask.masks[t, :nq, :nq], attn.dtype)
+                    eq_t = (tid == t).astype(attn.dtype)
+                    attn = attn + eq_t[:, None, None, None] * m_t
+            elif mask is not None:
+                nw = mask.shape[0]
+                bc = attn.shape[0]
+                attn = attn.reshape(bc // nw, nw, nh, nq, nq) + mask[
+                    :, :nq, :nq
+                ].astype(attn.dtype)[None, :, None]
+                attn = attn.reshape(bc, nh, nq, nq)
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            return out.transpose(0, 2, 1, 3).reshape(attn.shape[0], nq, -1)
 
-        # self attention with relative-position bias
+        def block(q, k, v, qkv_m, tid):
+            """Self (+ mutual) attention for one window chunk; returns the
+            pre-projection concat (B_c, N, C or 2C)."""
+            x_out = core(q, k, v, tid, with_bias=True)
+            if not self.mut_attn:
+                return x_out
+            qm, km, vm = qkv_m
+            half = n // 2
+            x1 = core(qm[:, :, half:], km[:, :, :half], vm[:, :, :half], tid, False)
+            x2 = core(qm[:, :, :half], km[:, :, half:], vm[:, :, half:], tid, False)
+            return jnp.concatenate(
+                [jnp.concatenate([x1, x2], axis=1), x_out], axis=-1
+            )
+
+        # self attention QKV (+ sine-encoded mutual QKV)
         qkv = _dense(3 * c, c, self.qkv_bias, self.dtype, "qkv_self")(x)
         q, k, v = (heads(t) for t in jnp.split(qkv, 3, axis=-1))
-        x_out = attention(q, k, v, with_bias=True)
-
+        qkv_m = None
         if self.mut_attn:
-            # sine-encoded mutual attention between the two temporal halves
             pos = jnp.asarray(
                 sine_position_encoding(
                     (self.window_size[1], self.window_size[2]), c // 2
                 )
             )
             pos2 = jnp.tile(pos, (1, 2, 1)).astype(x.dtype)
-            qkv_m = _dense(3 * c, c, self.qkv_bias, self.dtype, "qkv_mut")(x + pos2)
-            qm, km, vm = (heads(t) for t in jnp.split(qkv_m, 3, axis=-1))
-            half = n // 2
-            (q1, q2) = qm[:, :, :half], qm[:, :, half:]
-            (k1, k2) = km[:, :, :half], km[:, :, half:]
-            (v1, v2) = vm[:, :, :half], vm[:, :, half:]
-            x1_aligned = attention(q2, k1, v1, with_bias=False)
-            x2_aligned = attention(q1, k2, v2, with_bias=False)
-            x_out = jnp.concatenate(
-                [jnp.concatenate([x1_aligned, x2_aligned], axis=1), x_out],
-                axis=-1,
-            )
-            return _dense(c, 2 * c, True, self.dtype, "proj")(x_out)
+            qkv_mm = _dense(3 * c, c, self.qkv_bias, self.dtype, "qkv_mut")(x + pos2)
+            qkv_m = tuple(heads(t) for t in jnp.split(qkv_mm, 3, axis=-1))
 
+        if isinstance(mask, FactoredMask):
+            nw = mask.type_ids.shape[0]
+            tid_full = jnp.tile(jnp.asarray(mask.type_ids), b_ // nw)
+        else:
+            tid_full = jnp.zeros((b_,), jnp.int32)
+
+        row_bytes = nh * n * n * 4
+        chunk = b_
+        chunkable = mask is None or isinstance(mask, FactoredMask)
+        if chunkable and b_ * row_bytes > _LOGITS_BUDGET:
+            target = max(1, _LOGITS_BUDGET // row_bytes)
+            chunk = 1
+            for d in range(1, target + 1):
+                if b_ % d == 0:
+                    chunk = d
+
+        if chunk == b_:
+            x_out = block(q, k, v, qkv_m, tid_full)
+        else:
+
+            def rs(t):
+                return t.reshape((b_ // chunk, chunk) + t.shape[1:])
+
+            mapped = (
+                rs(q), rs(k), rs(v),
+                jax.tree.map(rs, qkv_m), rs(tid_full),
+            )
+            x_out = jax.lax.map(lambda a: block(*a), mapped)
+            x_out = x_out.reshape((b_,) + x_out.shape[2:])
+
+        if self.mut_attn:
+            return _dense(c, 2 * c, True, self.dtype, "proj")(x_out)
         return _dense(c, c, True, self.dtype, "proj")(x_out)

@@ -83,7 +83,13 @@ def deform_conv2d(
     if mask is not None:
         m_b = m.transpose(0, 3, 1, 2, 4).reshape(n * groups, ho, wo, taps)
 
-    sampled_taps = []
+    # Per-tap matmul accumulation: concatenating all taps into one
+    # (N, Ho, Wo, taps*Cin) im2col buffer costs 2+ GB at full-VRT scale;
+    # nine (Cin × Cout) matmuls accumulated in fp32 do the same MXU work
+    # (K=Cin is still ≥ the 120-channel tile) with one tap resident at a
+    # time.
+    w_k = weight.astype(x.dtype).reshape(taps, cin, cout)
+    out = None
     for k in range(taps):
         ky, kx = divmod(k, kw)
         py = (ys + ky * dilation)[None] + off_b[..., k, 0]  # (N*G, Ho, Wo)
@@ -94,13 +100,13 @@ def deform_conv2d(
         if mask is not None:
             s = s * m_b[..., k][..., None].astype(x.dtype)
         s = s.reshape(n, groups, ho, wo, cg).transpose(0, 2, 3, 1, 4)
-        sampled_taps.append(s.reshape(n, ho, wo, cin))
+        contrib = jnp.matmul(
+            s.reshape(n, ho, wo, cin),
+            w_k[k],
+            preferred_element_type=compute_dtype,
+        )
+        out = contrib if out is None else out + contrib
 
-    # (N, Ho, Wo, taps*Cin) @ (taps*Cin, Cout): one MXU matmul with fp32
-    # accumulation.
-    cols = jnp.concatenate(sampled_taps, axis=-1)
-    w_mat = weight.astype(x.dtype).reshape(taps * cin, cout)
-    out = jnp.matmul(cols, w_mat, preferred_element_type=compute_dtype)
     if bias is not None:
         out = out + bias.astype(compute_dtype)
     return out.astype(x.dtype)

@@ -80,11 +80,17 @@ def _pad_coords(ix, iy, h: int, w: int, padding_mode: str, align_corners: bool):
 USE_PACKED_GATHER = True
 
 
-def _window_group(c: int) -> int:
+def _window_group(c: int, n_idx: int = 0, itemsize: int = 4) -> int:
     """x-positions packed per gather row: target ~64-128 float lanes
     (4·gp·C elements per row; gp=8 measured best at C=3, larger rows
-    regress — scripts/bench_warp_variants.py)."""
-    return max(1, min(8, 32 // max(c, 1)))
+    regress — scripts/bench_warp_variants.py). The gathered-window
+    tensor is ``n_idx × 4·gp·C`` elements — at full-VRT deform scale
+    that reaches GBs, so gp shrinks until it fits a 1 GB budget."""
+    gp = max(1, min(8, 32 // max(c, 1)))
+    budget = 1 << 30
+    while gp > 1 and n_idx * 4 * gp * c * itemsize > budget:
+        gp //= 2
+    return gp
 
 
 def _bilinear_packed(x, ix, iy, padding_mode: str):
@@ -98,7 +104,7 @@ def _bilinear_packed(x, ix, iy, padding_mode: str):
     shape can't host a 2-row/2-group window (caller falls back).
     """
     n, h, w, c = x.shape
-    gp = _window_group(c)
+    gp = _window_group(c, ix.size, x.dtype.itemsize)
     wp = -(-w // gp) * gp
     wg = wp // gp
     if h < 2 or wg < 2:
@@ -170,7 +176,7 @@ def _nearest4_packed(x, ix, iy, padding_mode: str):
     (floor,floor), (floor,ceil), (ceil,floor), (ceil,ceil) of (x, y).
     Returns None when the shape can't host the window."""
     n, h, w, c = x.shape
-    gp = _window_group(c)
+    gp = _window_group(c, ix.size, x.dtype.itemsize)
     wp = -(-w // gp) * gp
     wg = wp // gp
     if h < 2 or wg < 2:
