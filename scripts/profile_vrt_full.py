@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--train", action="store_true")
+    ap.add_argument(
+        "--tile", type=int, default=0,
+        help="spatial tile size for tiled inference (official-VRT --tile "
+        "protocol; 0 = single-pass)",
+    )
+    ap.add_argument("--overlap", type=int, default=16)
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -59,6 +65,33 @@ def main():
         f"params: {n_params/1e6:.2f} M (init {time.perf_counter()-t0:.0f}s)",
         flush=True,
     )
+
+    if args.tile:
+        from vsrlab_tpu.evaluation import tiled_forward
+
+        def fwd(x):
+            sr, _ = model.apply(variables, x)
+            return sr
+
+        def run_tiled(x):
+            return tiled_forward(
+                fwd, x, (args.tile, args.tile), args.overlap
+            )
+
+        t0 = time.perf_counter()
+        sr = run_tiled(lr)
+        float(jnp.sum(sr))
+        print(
+            f"tiled({args.tile},ov{args.overlap}) compile+run: "
+            f"{time.perf_counter()-t0:.0f}s, out {sr.shape}",
+            flush=True,
+        )
+        dt = timed(run_tiled, lr, iters=2)
+        print(
+            f"tiled forward: {dt*1e3:.1f} ms  ({t/dt:.2f} frames/s)",
+            flush=True,
+        )
+        return
 
     @jax.jit
     def forward(v, x):

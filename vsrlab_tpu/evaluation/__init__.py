@@ -15,3 +15,4 @@ __all__ = [
     "param_count",
     "speed_bench",
 ]
+from vsrlab_tpu.evaluation.tiled import tiled_forward  # noqa: F401

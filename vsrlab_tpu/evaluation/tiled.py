@@ -1,0 +1,73 @@
+"""Spatially-tiled video SR inference with overlap blending.
+
+The official VRT test protocol processes large inputs as overlapping
+spatial tiles and averages the overlap regions (the reference family's
+``--tile``/``tile_overlap`` evaluation mode; vsrlab itself chunks long
+videos in time the same way — reference src/test.py:124-135). This is
+the production path for inputs whose single-pass activation footprint
+exceeds one chip's HBM — e.g. full-config VRT at 16×256×256, whose
+unchunked attention logits alone are 10 GB (docs/tpu_kernel_notes.md).
+
+``tiled_forward`` jits the per-tile forward once (all tiles share one
+shape) and mean-blends overlaps with a uniform weight map, matching the
+official VRT stitching.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _tile_starts(size: int, tile: int, stride: int) -> Sequence[int]:
+    """Official VRT tiling grid: stride steps plus a final border-snapped
+    tile so the whole extent is covered."""
+    if tile >= size:
+        return [0]
+    starts = list(range(0, size - tile, stride))
+    starts.append(size - tile)
+    return starts
+
+
+def tiled_forward(
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    lr: jnp.ndarray,
+    tile: Tuple[int, int],
+    overlap: int = 16,
+    scale: int = 4,
+) -> jnp.ndarray:
+    """Run ``apply_fn`` over overlapping spatial tiles and blend.
+
+    Args:
+      apply_fn: jittable clip forward ``(B, T, th, tw, C) -> (B, T,
+        s*th, s*tw, C)`` (e.g. ``lambda x: model.apply(vars, x)[0]``).
+      lr: ``(B, T, H, W, C)`` input clip.
+      tile: spatial tile size ``(th, tw)`` (clipped to the input size).
+      overlap: tile overlap in input pixels; overlapping output regions
+        are averaged (uniform weights, official-VRT stitching).
+      scale: output upscale factor.
+
+    Returns:
+      ``(B, T, scale*H, scale*W, C)`` output clip.
+    """
+    b, t, h, w, c = lr.shape
+    th = min(tile[0], h)
+    tw = min(tile[1], w)
+    stride_h = max(th - overlap, 1)
+    stride_w = max(tw - overlap, 1)
+
+    jit_apply = jax.jit(apply_fn)
+
+    out = np.zeros((b, t, h * scale, w * scale, c), np.float32)
+    weight = np.zeros((1, 1, h * scale, w * scale, 1), np.float32)
+    for ys in _tile_starts(h, th, stride_h):
+        for xs in _tile_starts(w, tw, stride_w):
+            patch = lr[:, :, ys : ys + th, xs : xs + tw]
+            sr = np.asarray(jit_apply(patch), np.float32)
+            oy, ox = ys * scale, xs * scale
+            out[:, :, oy : oy + th * scale, ox : ox + tw * scale] += sr
+            weight[:, :, oy : oy + th * scale, ox : ox + tw * scale] += 1.0
+    return jnp.asarray(out / weight)
