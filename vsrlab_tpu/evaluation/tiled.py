@@ -15,11 +15,25 @@ official VRT stitching.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _accumulate(acc: jnp.ndarray, sr: jnp.ndarray, oy, ox) -> jnp.ndarray:
+    """Add ``sr`` into ``acc`` at spatial offset ``(oy, ox)`` in place.
+
+    ``oy``/``ox`` are traced scalars so one compiled program serves every
+    tile position; ``acc`` is donated so the 4x-upscaled accumulator
+    (hundreds of MB at full scale) never round-trips through the host.
+    """
+    start = (0, 0, oy, ox, 0)
+    cur = jax.lax.dynamic_slice(acc, start, sr.shape)
+    return jax.lax.dynamic_update_slice(acc, cur + sr.astype(acc.dtype), start)
 
 
 def _tile_starts(size: int, tile: int, stride: int) -> Sequence[int]:
@@ -61,13 +75,25 @@ def tiled_forward(
 
     jit_apply = jax.jit(apply_fn)
 
-    out = np.zeros((b, t, h * scale, w * scale, c), np.float32)
-    weight = np.zeros((1, 1, h * scale, w * scale, 1), np.float32)
+    # The overlap-count weight map is static per tiling grid: build it
+    # once on the host (it is tiny work), divide once on device.
+    weight = np.zeros((h * scale, w * scale), np.float32)
     for ys in _tile_starts(h, th, stride_h):
         for xs in _tile_starts(w, tw, stride_w):
-            patch = lr[:, :, ys : ys + th, xs : xs + tw]
-            sr = np.asarray(jit_apply(patch), np.float32)
             oy, ox = ys * scale, xs * scale
-            out[:, :, oy : oy + th * scale, ox : ox + tw * scale] += sr
-            weight[:, :, oy : oy + th * scale, ox : ox + tw * scale] += 1.0
-    return jnp.asarray(out / weight)
+            weight[oy : oy + th * scale, ox : ox + tw * scale] += 1.0
+
+    # Accumulate on device: the per-tile forward and the dynamic-slice
+    # add are queued asynchronously, so tile k+1's compute overlaps tile
+    # k's stitch and nothing crosses the host link until the caller
+    # reads the final clip (at full-scale VRT this removes ~450 MB of
+    # synchronous per-tile readbacks).
+    acc = jnp.zeros((b, t, h * scale, w * scale, c), jnp.float32)
+    for ys in _tile_starts(h, th, stride_h):
+        for xs in _tile_starts(w, tw, stride_w):
+            patch = jax.lax.slice(
+                lr, (0, 0, ys, xs, 0), (b, t, ys + th, xs + tw, c)
+            )
+            sr = jit_apply(patch)
+            acc = _accumulate(acc, sr, ys * scale, xs * scale)
+    return acc / jnp.asarray(weight)[None, None, :, :, None]
