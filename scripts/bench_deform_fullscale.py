@@ -124,6 +124,105 @@ def deform_groups_last(x, offset, weight, bias, mask, gp=3, padding=1):
     return (out + bias.astype(cdt)).astype(x.dtype)
 
 
+def deform_gdot(x, offset, weight, bias, mask, padding=1):
+    """Deform conv keeping the gather's fast (n*G, ho, wo) row order and
+    NEVER transposing the sampled data: per tap, a G-batched dot with
+    K=cg contracts each group's channels against its weight slice, taps
+    accumulate in the G-major space, and one final reduce over G
+    produces (n, ho, wo, cout). Trades the 9 per-tap 59 MB transposes
+    for MXU K-padding (K=10 -> 128) plus one cheap reduction.
+    """
+    from vsrlab_tpu.ops.warp import sample_pixel_coords
+
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    taps = kh * kw
+    groups = offset.shape[-1] // (2 * taps)
+    cg = cin // groups
+    ho, wo = offset.shape[1], offset.shape[2]
+    cdt = jnp.float32
+
+    off = offset.reshape(n, ho, wo, groups, taps, 2).astype(cdt)
+    m = mask.reshape(n, ho, wo, groups, taps).astype(cdt)
+    off_b = off.transpose(0, 3, 1, 2, 4, 5).reshape(n * groups, ho, wo, taps, 2)
+    m_b = m.transpose(0, 3, 1, 2, 4).reshape(n * groups, ho, wo, taps)
+
+    ys = jnp.arange(ho, dtype=cdt)[:, None] - padding
+    xs = jnp.arange(wo, dtype=cdt)[None, :] - padding
+    xg = (
+        x.reshape(n, h, w, groups, cg)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(n * groups, h, w, cg)
+    )
+
+    # (n*G, cg, cout): group g's weight slice, shared across n
+    w_k = weight.astype(x.dtype).reshape(taps, groups, cg, cout)
+    acc = None
+    for k in range(taps):
+        ky, kx = divmod(k, kw)
+        py = (ys + ky)[None] + off_b[..., k, 0]
+        px = (xs + kx)[None] + off_b[..., k, 1]
+        s = sample_pixel_coords(xg, px, py, mode="bilinear", padding_mode="zeros")
+        s = s * m_b[..., k][..., None].astype(x.dtype)  # (n*G, ho, wo, cg)
+        rhs = jnp.broadcast_to(
+            w_k[k][None], (n, groups, cg, cout)
+        ).reshape(n * groups, cg, cout)
+        contrib = jax.lax.dot_general(
+            s.reshape(n * groups, ho * wo, cg),
+            rhs,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=cdt,
+        )  # (n*G, ho*wo, cout)
+        acc = contrib if acc is None else acc + contrib
+    out = acc.reshape(n, groups, ho, wo, cout).sum(axis=1)
+    return (out + bias.astype(cdt)).astype(x.dtype)
+
+
+def deform_tapbatch(x, offset, weight, bias, mask, padding=1):
+    """Deform conv with all 9 taps' coordinates batched into ONE packed
+    take (sample_pixel_coords handles arbitrary trailing index dims);
+    the rest matches the shipped op (transpose + per-tap matmul)."""
+    from vsrlab_tpu.ops.warp import sample_pixel_coords
+
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    taps = kh * kw
+    groups = offset.shape[-1] // (2 * taps)
+    cg = cin // groups
+    ho, wo = offset.shape[1], offset.shape[2]
+    cdt = jnp.float32
+
+    off = offset.reshape(n, ho, wo, groups, taps, 2).astype(cdt)
+    m = mask.reshape(n, ho, wo, groups, taps).astype(cdt)
+    off_b = off.transpose(0, 3, 4, 1, 2, 5).reshape(n * groups, taps, ho, wo, 2)
+    m_b = m.transpose(0, 3, 4, 1, 2).reshape(n * groups, taps, ho, wo)
+
+    ys = jnp.arange(ho, dtype=cdt)[:, None] - padding
+    xs = jnp.arange(wo, dtype=cdt)[None, :] - padding
+    ky = (jnp.arange(taps) // kw).astype(cdt)[:, None, None]
+    kx = (jnp.arange(taps) % kw).astype(cdt)[:, None, None]
+    py = (ys[None] + ky)[None] + off_b[..., 0]  # (n*G, taps, ho, wo)
+    px = (xs[None] + kx)[None] + off_b[..., 1]
+
+    xg = (
+        x.reshape(n, h, w, groups, cg)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(n * groups, h, w, cg)
+    )
+    s_all = sample_pixel_coords(xg, px, py, mode="bilinear", padding_mode="zeros")
+    s_all = s_all * m_b[..., None].astype(x.dtype)  # (n*G, taps, ho, wo, cg)
+
+    w_k = weight.astype(x.dtype).reshape(taps, cin, cout)
+    out = None
+    for k in range(taps):
+        s = s_all[:, k].reshape(n, groups, ho, wo, cg).transpose(0, 2, 3, 1, 4)
+        contrib = jnp.matmul(
+            s.reshape(n, ho, wo, cin), w_k[k], preferred_element_type=cdt
+        )
+        out = contrib if out is None else out + contrib
+    return (out + bias.astype(cdt)).astype(x.dtype)
+
+
 def timed(fn, *args, iters=5):
     out = fn(*args)
     float(jnp.sum(out))
@@ -152,21 +251,45 @@ def main():
     weight = jnp.asarray(rng.standard_normal((3, 3, cin, cin)) * 0.03, jnp.float32)
     bias = jnp.zeros((cin,), jnp.float32)
 
-    cur = jax.jit(
-        lambda *a: deform_conv2d(a[0], a[1], a[2], a[3], 1, 1, 1, a[4])
-    )
-    gl3 = jax.jit(lambda *a: deform_groups_last(*a, gp=3))
-    gl6 = jax.jit(lambda *a: deform_groups_last(*a, gp=6))
+    variants = {
+        "current": jax.jit(
+            lambda *a: deform_conv2d(a[0], a[1], a[2], a[3], 1, 1, 1, a[4])
+        ),
+    }
+    if "--gp2" in sys.argv:
+        # same op with 2-position packed rows (160 B vs 240 B): separates
+        # row-latency-bound from bandwidth-bound gather behavior
+        import vsrlab_tpu.ops.warp as warp_mod
+
+        orig = warp_mod._window_group
+
+        def jit_with_gp(gp):
+            def fn(*a):
+                warp_mod._window_group = lambda c, n_idx=0, itemsize=4: gp
+                try:
+                    return deform_conv2d(a[0], a[1], a[2], a[3], 1, 1, 1, a[4])
+                finally:
+                    warp_mod._window_group = orig
+
+            return jax.jit(fn)
+
+        variants["gp2"] = jit_with_gp(2)
+        variants["gp4"] = jit_with_gp(4)
+    if "--more" in sys.argv:
+        variants["gdot"] = jax.jit(deform_gdot)
+        variants["tapbatch"] = jax.jit(deform_tapbatch)
+    if "--groups-last" in sys.argv:
+        variants["groups_last"] = jax.jit(lambda *a: deform_groups_last(*a, gp=3))
+        variants["gp6"] = jax.jit(lambda *a: deform_groups_last(*a, gp=6))
 
     args = (x, offset, weight, bias, mask)
-    r_cur = np.asarray(cur(*args), np.float32)
-    r_gl = np.asarray(gl3(*args), np.float32)
-    err = np.max(np.abs(r_cur - r_gl)) / (np.max(np.abs(r_cur)) + 1e-8)
-    print(f"groups_last vs current: rel max diff {err:.2e}", flush=True)
-
-    for name, fn in [("current", cur), ("groups_last", gl3), ("gp6", gl6)]:
+    r_cur = np.asarray(variants["current"](*args), np.float32)
+    ref_mag = np.max(np.abs(r_cur)) + 1e-8
+    for name, fn in variants.items():
+        r = np.asarray(fn(*args), np.float32)
+        err = np.max(np.abs(r_cur - r)) / ref_mag
         dt_s = timed(fn, *args)
-        print(f"{name:12s} {dt_s*1e3:8.1f} ms", flush=True)
+        print(f"{name:12s} {dt_s*1e3:8.1f} ms   rel max diff {err:.1e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -95,7 +95,13 @@ def deform_conv2d(
         py = (ys + ky * dilation)[None] + off_b[..., k, 0]  # (N*G, Ho, Wo)
         px = (xs + kx * dilation)[None] + off_b[..., k, 1]
         s = sample_pixel_coords(
-            xg, px, py, mode="bilinear", padding_mode="zeros"
+            xg, px, py, mode="bilinear", padding_mode="zeros",
+            # gp=2 (160 B rows) measured 8% faster than the heuristic's
+            # gp=3 at the full-VRT alignment shape (Cg=10, bf16,
+            # 15×128²) — the gather is partly bandwidth-bound; gp=4/6
+            # and tap-batched/group-last orderings all regress
+            # (scripts/bench_deform_fullscale.py, tpu_kernel_notes)
+            window_group=2 if 8 <= cg <= 16 else None,
         )  # (N*G, Ho, Wo, Cg) in x.dtype
         if mask is not None:
             s = s * m_b[..., k][..., None].astype(x.dtype)

@@ -93,7 +93,7 @@ def _window_group(c: int, n_idx: int = 0, itemsize: int = 4) -> int:
     return gp
 
 
-def _bilinear_packed(x, ix, iy, padding_mode: str):
+def _bilinear_packed(x, ix, iy, padding_mode: str, window_group: int | None = None):
     """Bilinear sampling via ONE flattened take of 2×2-window rows.
 
     ``ix``/``iy`` are continuous pixel coords already processed by
@@ -104,7 +104,7 @@ def _bilinear_packed(x, ix, iy, padding_mode: str):
     shape can't host a 2-row/2-group window (caller falls back).
     """
     n, h, w, c = x.shape
-    gp = _window_group(c, ix.size, x.dtype.itemsize)
+    gp = window_group or _window_group(c, ix.size, x.dtype.itemsize)
     wp = -(-w // gp) * gp
     wg = wp // gp
     if h < 2 or wg < 2:
@@ -250,6 +250,7 @@ def sample_pixel_coords(
     mode: str = "bilinear",
     padding_mode: str = "zeros",
     align_corners: bool = False,
+    window_group: int | None = None,
 ) -> jnp.ndarray:
     """Sample ``x`` at continuous PIXEL coordinates (no [-1,1] roundtrip).
 
@@ -261,6 +262,9 @@ def sample_pixel_coords(
     Args:
       x: ``(N, H, W, C)``.
       ix, iy: ``(N, Ho, Wo)`` pixel coordinates.
+      window_group: override the packed-gather x-positions-per-row
+        heuristic (callers with a measured optimum, e.g. the deform
+        conv's per-group gathers — scripts/bench_deform_fullscale.py).
     """
     n, h, w, c = x.shape
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
@@ -284,7 +288,7 @@ def sample_pixel_coords(
 
     if mode == "bilinear":
         out = (
-            _bilinear_packed(x, ix, iy, padding_mode)
+            _bilinear_packed(x, ix, iy, padding_mode, window_group)
             if USE_PACKED_GATHER
             else None
         )
