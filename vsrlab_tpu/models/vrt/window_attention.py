@@ -310,10 +310,11 @@ class WindowAttention(nn.Module):
         # overlay allocator charges every distinct loop body, so fewer,
         # fatter bodies beat many thin ones (measured 5.9 GB of overlays
         # with three maps per block at a 512 MB budget).
-        # At tile scale a fixed 96 MB budget over-chunks (~28 sequential
-        # chunks/block, 0.45 s of bare loop overhead per 3.59 s tile —
-        # trace in tpu_kernel_notes), so the budget grows to cap the
-        # chunk count at ~8; small shapes keep the exact old behavior.
+        # A budget that grows to cap chunk count at ~8 was measured and
+        # REVERTED: 340 MB chunk bodies leave VMEM and stream through
+        # HBM (while-op time 0.45 → 0.69 s per tile, wall time neutral)
+        # while raising overlay-memory risk — tpu_kernel_notes round-3
+        # perf pass III. 96 MB keeps the chunk body VMEM-resident.
         _LOGITS_BUDGET = 96 * 1024 ** 2
 
         def core(q, k, v, tid, with_bias: bool):
@@ -383,9 +384,8 @@ class WindowAttention(nn.Module):
         row_bytes = nh * n * n * 4
         chunk = b_
         chunkable = mask is None or isinstance(mask, FactoredMask)
-        budget = max(_LOGITS_BUDGET, (b_ * row_bytes) // 8)
-        if chunkable and b_ * row_bytes > budget:
-            target = max(1, budget // row_bytes)
+        if chunkable and b_ * row_bytes > _LOGITS_BUDGET:
+            target = max(1, _LOGITS_BUDGET // row_bytes)
             chunk = 1
             for d in range(1, target + 1):
                 if b_ % d == 0:
