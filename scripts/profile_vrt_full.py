@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--train", action="store_true")
     ap.add_argument(
+        "--remat", action="store_true",
+        help="remat each Stage/RTMSA block (required for full-config "
+        "training: un-remat'd step needs 21.8 G vs 15.75 G HBM)",
+    )
+    ap.add_argument(
         "--tile", type=int, default=0,
         help="spatial tile size for tiled inference (official-VRT --tile "
         "protocol; 0 = single-pass)",
@@ -53,7 +58,9 @@ def main():
 
     enable_compilation_cache()
     t, s = args.frames, args.size
-    model = VRT(upscale=4, img_size=(t, s, s), dtype=jnp.bfloat16)
+    model = VRT(
+        upscale=4, img_size=(t, s, s), remat=args.remat, dtype=jnp.bfloat16
+    )
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.random((1, t, s, s, 3)), jnp.float32)
 

@@ -212,6 +212,29 @@ class TestTinyVRT:
         )
         assert flow_norm == 0.0
 
+    @pytest.mark.slow
+    def test_remat_matches_gradients(self, rng, model_and_vars):
+        """remat=True (required to train full-config VRT within one chip's
+        HBM — docs/tpu_kernel_notes.md) must not change numerics: same
+        forward, gradients equal up to recompute reassociation noise."""
+        model, variables = model_and_vars
+        rmodel = model.clone(remat=True)
+        x = jnp.asarray(rng.random((1, 4, 32, 32, 3)), jnp.float32)
+
+        def loss(m):
+            def f(params):
+                sr, _ = m.apply({"params": params}, x)
+                return jnp.mean(sr**2)
+
+            return f
+
+        g = jax.jit(jax.grad(loss(model)))(variables["params"])
+        gr = jax.jit(jax.grad(loss(rmodel)))(variables["params"])
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gr)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )
+
 
 class TestFactoredMask:
     """The per-axis factored mask (round 3 — full-scale VRT's dense mask

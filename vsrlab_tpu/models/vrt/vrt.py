@@ -64,6 +64,12 @@ class _VRTBase(nn.Module):
     pa_frames: int = 2
     deformable_groups: int = 16
     head_shard_axis: Optional[str] = None  # TP: shard attention heads
+    # Rematerialise each Stage / RTMSA block in the backward pass.
+    # Required to train the full paper config: the un-remat'd train step
+    # at (1, 6, 64, 64) needs 21.8 G of HBM vs the chip's 15.75 G
+    # (docs/tpu_kernel_notes.md round-3 full-VRT training section).
+    # Forward-only inference is unaffected.
+    remat: bool = False
     dtype: Dtype = None
     # subclass-fixed U-shape
     reshapes: Sequence[str] = ()
@@ -130,7 +136,10 @@ class _VRTBase(nn.Module):
 
     def _make_stage(self, i: int, dpr) -> Stage:
         depths, dims = list(self.depths), list(self.embed_dims)
-        return Stage(
+        # nn.remat argnums count the module instance as 0; ``deterministic``
+        # is Stage.__call__'s 4th arg and must stay trace-static.
+        stage_cls = nn.remat(Stage, static_argnums=(4,)) if self.remat else Stage
+        return stage_cls(
             in_dim=dims[i - 1],
             dim=dims[i],
             depth=depths[i],
@@ -158,13 +167,14 @@ class _VRTBase(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="trunk_norm_in")(x)
         x = _dense(dims[ns], dims[ns - 1], True, self.dtype, "trunk_linear_in")(x)
         indep = [i % len(depths) for i in self.indep_reconsts]
+        rtmsa_cls = nn.remat(RTMSA, static_argnums=(2,)) if self.remat else RTMSA
         for i in range(ns, len(depths)):
             ws = (
                 (1, self.window_size[1], self.window_size[2])
                 if i in indep
                 else tuple(self.window_size)
             )
-            x = RTMSA(
+            x = rtmsa_cls(
                 dim=dims[i],
                 depth=depths[i],
                 num_heads=self.num_heads[i],
