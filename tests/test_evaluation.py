@@ -117,6 +117,25 @@ class TestHarness:
         assert len(pngs) == 5
         assert list((tmp_path / "out").rglob("*.csv"))
 
+    def test_full_matrix_sweep_tiled(self, run_dir, test_matrix, tmp_path):
+        """--tile path: spatially-tiled per-window forwards (official-VRT
+        protocol) produce a finite, plausible sweep."""
+        df = run_test_matrix(
+            run_dir,
+            str(test_matrix / "lr"),
+            str(test_matrix / "hr"),
+            str(tmp_path / "out_tiled"),
+            window_size=3,
+            fps_list=(6,),
+            crf_list=(30,),
+            save_frames=False,
+            tile=6,
+            tile_overlap=2,
+        )
+        row = df.iloc[0]
+        assert np.isfinite(row["PSNR"]) and row["PSNR"] > 0
+        assert 0 <= row["SSIM"] <= 1
+
 
 class TestParamsBench:
     def test_speed_bench(self, run_dir):

@@ -110,8 +110,16 @@ def run_test_matrix(
     metrics=("PSNR", "SSIM"),
     save_frames: bool = True,
     mesh=None,
+    tile: Optional[int] = None,
+    tile_overlap: int = 16,
 ) -> "pandas.DataFrame":
     """Full fps×crf evaluation sweep (reference src/test.py:94-155).
+
+    ``tile`` switches each window's forward to overlapping spatial tiles
+    with mean-blended stitching (the official-VRT ``--tile`` protocol,
+    evaluation/tiled.py) — required when the model's single-pass
+    activation footprint exceeds HBM (e.g. full-config VRT beyond
+    ~128 px inputs, docs/tpu_kernel_notes.md).
 
     Directory layout (reference convention): ``<lr_dir>/fps=F_crf=C/frames/<video>/``
     frame folders plus ``.../video/<video>`` encoded files for bitrate stats;
@@ -135,9 +143,25 @@ def run_test_matrix(
         if jax.default_backend() == "tpu"
         else None
     )
-    forward = jax.jit(
-        lambda p, x: model.apply({"params": p}, x), compiler_options=opts
-    )
+    if tile:
+        from vsrlab_tpu.evaluation.tiled import tiled_forward
+
+        # jit ONCE here (params as an argument, not a closure constant);
+        # tiled_forward must not re-wrap or it re-traces per video.
+        raw = jax.jit(
+            lambda p, x: model.apply({"params": p}, x)[0],
+            compiler_options=opts,
+        )
+
+        def forward(p, x):
+            return tiled_forward(
+                lambda z: raw(p, z), x, (tile, tile), tile_overlap, jit=False
+            )
+
+    else:
+        forward = jax.jit(
+            lambda p, x: model.apply({"params": p}, x), compiler_options=opts
+        )
 
     metric_fns = {"PSNR": psnr, "SSIM": ssim}
     rows: List[Dict] = []
@@ -217,9 +241,17 @@ def main(argv=None):
     ap.add_argument("--hr-dir", required=True)
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--window-size", type=int, default=10)
+    ap.add_argument(
+        "--tile", type=int, default=0,
+        help="spatial tile size for tiled inference (official-VRT --tile "
+        "protocol; 0 = single-pass)",
+    )
+    ap.add_argument("--tile-overlap", type=int, default=16)
     args = ap.parse_args(argv)
     df = run_test_matrix(
-        args.cfg_dir, args.lr_dir, args.hr_dir, args.out_dir, args.window_size
+        args.cfg_dir, args.lr_dir, args.hr_dir, args.out_dir,
+        args.window_size, tile=args.tile or None,
+        tile_overlap=args.tile_overlap,
     )
     print(df)
 

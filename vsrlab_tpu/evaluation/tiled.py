@@ -16,7 +16,7 @@ official VRT stitching.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,8 @@ def tiled_forward(
     lr: jnp.ndarray,
     tile: Tuple[int, int],
     overlap: int = 16,
-    scale: int = 4,
+    scale: Optional[int] = None,
+    jit: bool = True,
 ) -> jnp.ndarray:
     """Run ``apply_fn`` over overlapping spatial tiles and blend.
 
@@ -62,7 +63,11 @@ def tiled_forward(
       tile: spatial tile size ``(th, tw)`` (clipped to the input size).
       overlap: tile overlap in input pixels; overlapping output regions
         are averaged (uniform weights, official-VRT stitching).
-      scale: output upscale factor.
+      scale: output upscale factor; ``None`` infers it from the first
+        tile's output shape.
+      jit: wrap ``apply_fn`` in ``jax.jit`` here. Pass ``False`` when the
+        caller already jitted it (a fresh ``jax.jit`` wrapper per call
+        would re-trace the model on every video).
 
     Returns:
       ``(B, T, scale*H, scale*W, C)`` output clip.
@@ -73,7 +78,12 @@ def tiled_forward(
     stride_h = max(th - overlap, 1)
     stride_w = max(tw - overlap, 1)
 
-    jit_apply = jax.jit(apply_fn)
+    jit_apply = jax.jit(apply_fn) if jit else apply_fn
+    if scale is None:
+        probe = jax.eval_shape(
+            jit_apply, jax.ShapeDtypeStruct((b, t, th, tw, c), lr.dtype)
+        )
+        scale = probe.shape[2] // th
 
     # The overlap-count weight map is static per tiling grid: build it
     # once on the host (it is tiny work), divide once on device.
