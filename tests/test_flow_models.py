@@ -161,6 +161,39 @@ class TestFlowData:
         f1, f2, flow = ds[0]
         assert f1.shape == (16, 16, 3) and flow.shape == (16, 16, 2)
 
+    @pytest.mark.slow
+    def test_create_flow_dataset_cli_feeds_flow_dataset(self, tmp_path, rng):
+        """e2e distillation pipeline (reference create_dataset.py:11-36):
+        the CLI runs the pretrained RAFT teacher over adjacent frames and
+        its .npz output loads through FlowDataset."""
+        import cv2
+
+        from vsrlab_tpu.data import create_flow_dataset
+        from vsrlab_tpu.data.flow_dataset import FlowDataset
+
+        frames_root = tmp_path / "frames"
+        (frames_root / "vidA").mkdir(parents=True)
+        for i in range(3):
+            img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(frames_root / "vidA" / f"{i:04d}.png"), img)
+
+        out = tmp_path / "flows"
+        create_flow_dataset.main(
+            [
+                "--frames", str(frames_root), "--out", str(out),
+                "--height", "64", "--width", "64",
+            ]
+        )
+        files = sorted(out.glob("*.npz"))
+        assert len(files) == 2  # 3 frames -> 2 adjacent pairs
+        flow = np.load(files[0])["flow"]
+        assert flow.shape == (64, 64, 2) and np.isfinite(flow).all()
+
+        ds = FlowDataset(str(out), str(frames_root), split="all")
+        assert len(ds) == 2
+        f1, f2, fl = ds[0]
+        assert f1.shape == (48, 48, 3) and fl.shape == (64, 64, 2)
+
 
 class TestOpticalFlowConsistency:
     def test_zero_at_identity(self, rng):
