@@ -130,6 +130,57 @@ def bench_train(model):
     return b * t / dt, dt * 1e3, mfu
 
 
+def bench_vrt():
+    """Secondary metrics: VRT-family inference (driver config #5).
+
+    TinyVRT at its default 6-frame 64×64 shape, plus full paper-config
+    VRT (30.68 M params) on a 16×256×256 clip via the official-VRT
+    2×2 spatial tiling (136 px tiles — single-pass exceeds HBM,
+    docs/tpu_kernel_notes.md). Compiles are served by the persistent
+    cache after the first round.
+    """
+    from vsrlab_tpu.evaluation import tiled_forward
+    from vsrlab_tpu.models import VRT, TinyVRT
+
+    rng = np.random.default_rng(2)
+    out = {}
+
+    tiny = TinyVRT(upscale=4, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.random((1, 6, 64, 64, 3)), jnp.float32)
+    tv = jax.jit(tiny.init)(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def tiny_fwd(v, x):
+        sr, _ = tiny.apply(v, x)
+        return jnp.sum(sr)
+
+    def tiny_sync(n):
+        s = None
+        for _ in range(n):
+            s = tiny_fwd(tv, x)
+        float(s)
+
+    out["vrt_tiny_6f64_fps"] = round(6 / _best_time(tiny_sync), 2)
+
+    t, s = 16, 256
+    full = VRT(upscale=4, img_size=(t, s, s), dtype=jnp.bfloat16)
+    clip = jnp.asarray(rng.random((1, t, s, s, 3)), jnp.float32)
+    fv = jax.jit(full.init)(jax.random.PRNGKey(0), clip)
+    raw = jax.jit(lambda v, z: full.apply(v, z)[0])
+
+    def full_sync(n):
+        acc = None
+        for _ in range(n):
+            acc = tiled_forward(
+                lambda z: raw(fv, z), clip, (136, 136), 16, scale=4, jit=False
+            )
+        float(jnp.sum(acc))
+
+    dt = _best_time(full_sync, n_iters=1, repeats=2)
+    out["vrt_full_16f256_tiled_fps"] = round(t / dt, 3)
+    return out
+
+
 def main() -> None:
     from vsrlab_tpu.models import RealBasicVSR
     from vsrlab_tpu.utils import enable_compilation_cache
@@ -157,6 +208,10 @@ def main() -> None:
         out["mfu"] = round(mfu, 4)
     if train_mfu is not None:
         out["train_mfu"] = round(train_mfu, 4)
+    try:
+        out.update(bench_vrt())
+    except Exception as e:  # secondary metrics must never sink the bench
+        out["vrt_bench_error"] = type(e).__name__
     print(json.dumps(out))
 
 
