@@ -61,14 +61,16 @@ def main():
         flush=True,
     )
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        m = None
-        for _ in range(3):
+    from bench import _best_time  # shared axon-tunnel-safe timing loop
+
+    def call_and_sync(n):
+        nonlocal state
+        m = metrics
+        for _ in range(n):
             state, m = step(state, batch)
         float(m["Loss"])
-        best = min(best, (time.perf_counter() - t0) / 3)
+
+    best = _best_time(call_and_sync, n_iters=3)
     print(
         f"train step (b={b}, t={t}): {best * 1e3:.1f} ms "
         f"({b * t / best:.1f} frames/s)"

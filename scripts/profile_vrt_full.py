@@ -76,13 +76,15 @@ def main():
     if args.tile:
         from vsrlab_tpu.evaluation import tiled_forward
 
-        def fwd(x):
-            sr, _ = model.apply(variables, x)
-            return sr
+        # jit ONCE with params as an argument (tiled_forward(jit=True)
+        # would re-wrap per call and re-trace the 30M-param model inside
+        # every timed iteration; bench.py does the same)
+        raw = jax.jit(lambda v, z: model.apply(v, z)[0])
 
         def run_tiled(x):
             return tiled_forward(
-                fwd, x, (args.tile, args.tile), args.overlap
+                lambda z: raw(variables, z), x,
+                (args.tile, args.tile), args.overlap, scale=4, jit=False,
             )
 
         t0 = time.perf_counter()

@@ -148,10 +148,11 @@ def run_test_matrix(
 
         # jit ONCE here (params as an argument, not a closure constant);
         # tiled_forward must not re-wrap or it re-traces per video.
-        raw = jax.jit(
-            lambda p, x: model.apply({"params": p}, x)[0],
-            compiler_options=opts,
-        )
+        def _sr_only(p, x):
+            out = model.apply({"params": p}, x)
+            return out[0] if isinstance(out, tuple) else out
+
+        raw = jax.jit(_sr_only, compiler_options=opts)
 
         def forward(p, x):
             return tiled_forward(

@@ -75,6 +75,11 @@ def tiled_forward(
     b, t, h, w, c = lr.shape
     th = min(tile[0], h)
     tw = min(tile[1], w)
+    if (th < h and th <= overlap) or (tw < w and tw <= overlap):
+        raise ValueError(
+            f"tile {th}x{tw} must exceed overlap {overlap} when smaller "
+            "than the input (stride would degenerate to 1 px)"
+        )
     stride_h = max(th - overlap, 1)
     stride_w = max(tw - overlap, 1)
 
