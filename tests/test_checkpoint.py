@@ -107,7 +107,7 @@ class TestRestoreSemantics:
         _, fresh = make_state(lr)
         ckpt = CheckpointManager(str(tmp_path / "dst"))
         cfg = {"restore": str(tmp_path / "src")}
-        state, start_epoch = restore_state(fresh, _D(cfg), ckpt, str(tmp_path / "dst"))
+        state, start_epoch, _ = restore_state(fresh, _D(cfg), ckpt, str(tmp_path / "dst"))
         assert start_epoch == 6
         np.testing.assert_array_equal(
             np.asarray(jax.tree.leaves(state.params)[0]),
@@ -122,7 +122,7 @@ class TestRestoreSemantics:
         _, fresh = make_state(lr)
         ckpt = CheckpointManager(str(tmp_path / "dst"))
         cfg = {"restore": str(tmp_path / "src"), "restore_opt": True}
-        _, start_epoch = restore_state(fresh, _D(cfg), ckpt, str(tmp_path / "dst"))
+        _, start_epoch, _ = restore_state(fresh, _D(cfg), ckpt, str(tmp_path / "dst"))
         assert start_epoch == 6
         ckpt.close()
 
@@ -137,7 +137,7 @@ class TestRestoreSemantics:
             "restore_opt": True,
             "finetune": True,
         }
-        state, start_epoch = restore_state(fresh, _D(cfg), ckpt, str(tmp_path / "dst"))
+        state, start_epoch, _ = restore_state(fresh, _D(cfg), ckpt, str(tmp_path / "dst"))
         assert start_epoch == 0  # weights restored, epoch counter reset
         np.testing.assert_array_equal(
             np.asarray(jax.tree.leaves(state.params)[0]),

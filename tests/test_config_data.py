@@ -167,6 +167,21 @@ class TestDatasets:
         b = next(iter(dl))["hr"]
         assert not np.allclose(a, b)
 
+    def test_loader_skip_next_resumes_stream(self):
+        """skip_next(k) yields exactly the full stream's tail (step-
+        granular resume), and is consumed by one iteration only."""
+        ds = SyntheticVSR(num_videos=16, seq=2, height=16, width=16, scale=4)
+        dl = DataLoader(ds, batch_size=4, num_workers=2, seed=3)
+        dl.set_epoch(2)
+        full = [b["hr"] for b in dl]
+        dl.skip_next(2)
+        tail = [b["hr"] for b in dl]
+        assert len(tail) == len(full) - 2
+        for a, b in zip(full[2:], tail):
+            np.testing.assert_array_equal(a, b)
+        again = [b["hr"] for b in dl]  # skip consumed — full stream again
+        assert len(again) == len(full)
+
 
 class TestLogger:
     def test_jsonl_logger(self, tmp_path, rng):

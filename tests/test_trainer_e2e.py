@@ -88,6 +88,61 @@ class TestSupervisedLoop:
         mgr.close()
         assert epoch2 == cfg.train.max_epochs  # exactly one resumed epoch
 
+    def test_step_granular_resume_matches_uninterrupted(self, tmp_path):
+        """save_every_steps + restore_step: a run killed mid-epoch and
+        resumed from the mid-epoch checkpoint reproduces the
+        uninterrupted run's final params EXACTLY (deterministic loader
+        stream + restored opt state). Beyond the reference, which only
+        checkpoints per eval (src/core/utils.py:69-90)."""
+        from vsrlab_tpu.train.train import run
+
+        base = _overrides(tmp_path, "synthetic") + [
+            "train.max_epochs=1",
+            "train.data.datasets.train.num_videos=16",  # 4 batches/epoch
+        ]
+
+        # run A: uninterrupted, with mid-epoch saves every 2 steps
+        cfg_a = load_config(
+            overrides=base
+            + [
+                f"train.checkpoint_dir={tmp_path}/ckpt_a",
+                "train.save_every_steps=2",
+            ]
+        )
+        run(cfg_a)
+        mgr = CheckpointManager(f"{tmp_path}/ckpt_a")
+        key_end, payload_a = mgr.restore()
+        assert key_end == 4  # epoch-end key in global-step space
+        assert mgr.load_meta(4) == {
+            "epoch": 0, "batch_in_epoch": 4, "steps_per_epoch": 4,
+        }
+        assert mgr.load_meta(2) == {
+            "epoch": 0, "batch_in_epoch": 2, "steps_per_epoch": 4,
+        }
+        mgr.close()
+
+        # run B: "crashed" after batch 2 — resume from the key-2
+        # checkpoint and finish the epoch
+        cfg_b = load_config(
+            overrides=base
+            + [
+                f"train.checkpoint_dir={tmp_path}/ckpt_b",
+                f"train.restore={tmp_path}/ckpt_a",
+                "train.restore_step=2",
+                "train.restore_opt=true",
+            ]
+        )
+        run(cfg_b)
+        mgr = CheckpointManager(f"{tmp_path}/ckpt_b")
+        _, payload_b = mgr.restore()
+        mgr.close()
+
+        for a, b in zip(
+            jax.tree.leaves(payload_a["params"]),
+            jax.tree.leaves(payload_b["params"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestGanLoop:
     def test_run_ckpt_logs(self, tmp_path):

@@ -43,8 +43,15 @@ class CheckpointManager:
         opt_state: Any = None,
         extra: Optional[dict] = None,
         config: Optional[dict] = None,
+        meta: Optional[dict] = None,
     ):
-        """Save a checkpoint (process 0 only does real IO under orbax)."""
+        """Save a checkpoint (process 0 only does real IO under orbax).
+
+        ``meta`` (small JSON-serialisable dict) is written as a sidecar
+        ``meta_<key>.json`` — used by step-granular resume to record
+        ``{"epoch": e, "batch_in_epoch": k}`` without entangling the
+        orbax payload structure (sharded template restores stay simple).
+        """
         payload = {"params": params}
         if opt_state is not None:
             payload["opt_state"] = opt_state
@@ -52,11 +59,23 @@ class CheckpointManager:
             payload["extra"] = extra
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
+        if meta is not None:
+            with open(self.directory / f"meta_{epoch}.json", "w") as f:
+                json.dump(meta, f)
         if config is not None:
             # config snapshot for test-time reload (reference
             # src/core/utils.py:54-67, src/test.py:80-82)
             with open(self.directory / "config.yaml", "w") as f:
                 yaml.safe_dump(config, f)
+
+    def load_meta(self, key: int) -> Optional[dict]:
+        """Read the ``meta_<key>.json`` sidecar for a checkpoint key, or
+        None if that save carried no meta (legacy epoch-keyed saves)."""
+        path = self.directory / f"meta_{key}.json"
+        if not path.exists():
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -48,11 +48,20 @@ class DataLoader:
         self.shard_index = shard_index
         self.device_put = device_put
         self._epoch = 0
+        self._skip = 0
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
+
+    def skip_next(self, n_batches: int):
+        """Skip the first ``n_batches`` of the NEXT iteration only —
+        step-granular resume: the shuffle order is a pure function of
+        (seed, epoch), so skipping k batches reproduces exactly the
+        stream a run that checkpointed after k batches would continue
+        with."""
+        self._skip = int(n_batches)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -66,7 +75,10 @@ class DataLoader:
         if self.shuffle:
             order = np.random.default_rng((self.seed, self._epoch)).permutation(n)
         usable = (n // self.global_batch) * self.global_batch if self.drop_last else n
-        for b0 in range(0, usable, self.global_batch):
+        skip, self._skip = self._skip, 0  # consume a pending skip_next
+        for k, b0 in enumerate(range(0, usable, self.global_batch)):
+            if k < skip:
+                continue
             idx = order[b0 : b0 + self.global_batch]
             # this process's contiguous slice of the global batch
             lo = self.shard_index * self.local_batch

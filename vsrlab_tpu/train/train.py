@@ -48,26 +48,41 @@ def restore_state(state, tcfg, ckpt: CheckpointManager, ckpt_dir: str):
     at ``epoch + 1``; ``restore_opt`` additionally loads optimizer state;
     ``finetune`` resets the epoch counter to 0 regardless.
 
-    Returns ``(state, start_epoch)``.
+    Step-granular extension (beyond the reference): checkpoints written
+    with ``save_every_steps`` carry a ``meta_<key>.json`` sidecar
+    recording ``{epoch, batch_in_epoch, steps_per_epoch}``; restoring one
+    resumes INSIDE that epoch, skipping the already-consumed batches
+    (the loader's shuffle order is a pure function of (seed, epoch), so
+    the continued stream is byte-identical to an uninterrupted run).
+
+    Returns ``(state, start_epoch, start_batch)``.
     """
-    start_epoch = 0
+    start_epoch, start_batch = 0, 0
     if tcfg.get("restore"):
         src = CheckpointManager(tcfg.restore) if tcfg.restore != ckpt_dir else ckpt
-        epoch, payload = src.restore(
-            template={"params": state.params, "opt_state": state.opt_state}
+        key, payload = src.restore(
+            epoch=tcfg.get("restore_step"),  # None -> latest
+            template={"params": state.params, "opt_state": state.opt_state},
         )
         state = state.replace(params=payload["params"])
-        start_epoch = epoch + 1
+        meta = src.load_meta(key)
+        if meta is not None:  # step-keyed checkpoint
+            epoch = int(meta["epoch"])
+            k, n = int(meta["batch_in_epoch"]), int(meta["steps_per_epoch"])
+            start_epoch, start_batch = (epoch + 1, 0) if k >= n else (epoch, k)
+        else:  # legacy epoch-keyed checkpoint
+            epoch = key
+            start_epoch = epoch + 1
         if tcfg.get("restore_opt"):
             state = state.replace(opt_state=payload["opt_state"], step=epoch)
         if tcfg.get("finetune"):
-            start_epoch = 0
+            start_epoch, start_batch = 0, 0
             print("finetuning mode")
         print(
-            f"restored checkpoint @ epoch {epoch} from {tcfg.restore}; "
-            f"resuming from epoch {start_epoch}"
+            f"restored checkpoint @ key {key} from {tcfg.restore}; "
+            f"resuming from epoch {start_epoch}, batch {start_batch}"
         )
-    return state, start_epoch
+    return state, start_epoch, start_batch
 
 
 def run(cfg: Config) -> Dict[str, float]:
@@ -102,7 +117,7 @@ def run(cfg: Config) -> Dict[str, float]:
     # restore / finetune (reference src/core/utils.py:106-135)
     ckpt_dir = tcfg.get("checkpoint_dir", "./checkpoints")
     ckpt = CheckpointManager(ckpt_dir)
-    state, start_epoch = restore_state(state, tcfg, ckpt, ckpt_dir)
+    state, start_epoch, start_batch = restore_state(state, tcfg, ckpt, ckpt_dir)
 
     logger = build_logger(tcfg.get("logger")) if process_index() == 0 else None
 
@@ -114,7 +129,7 @@ def run(cfg: Config) -> Dict[str, float]:
     try:
         final_val = _train_loop(
             cfg, mesh, state, train_dl, val_dl, train_step, eval_step,
-            logger, ckpt, start_epoch,
+            logger, ckpt, start_epoch, start_batch,
         )
     finally:
         if logger:
@@ -125,7 +140,7 @@ def run(cfg: Config) -> Dict[str, float]:
 
 def _train_loop(
     cfg, mesh, state, train_dl, val_dl, train_step, eval_step, logger, ckpt,
-    start_epoch,
+    start_epoch, start_batch=0,
 ):
     tcfg = cfg.train
     with mesh:
@@ -133,24 +148,50 @@ def _train_loop(
         final_val: Dict[str, float] = {}
         max_epochs = int(tcfg.get("max_epochs", 1))
         eval_every = int(tcfg.get("eval_every", 1))
+        # step-granular checkpointing (beyond reference): when set, ALL
+        # checkpoint keys are global steps with a meta sidecar so a
+        # restore resumes mid-epoch on the exact next batch
+        save_every = int(tcfg.get("save_every_steps", 0))
+        spe = len(train_dl)  # steps per epoch
 
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             train_dl.set_epoch(epoch)
-            sums: Dict[str, float] = {}
             nb = 0
+            if epoch == start_epoch and start_batch:
+                train_dl.skip_next(start_batch)
+                nb = start_batch
+            sums: Dict[str, float] = {}
+            nb0 = nb
             for batch in train_dl:
                 state, metrics = train_step(state, batch)
                 _accumulate(sums, metrics)
                 nb += 1
-            train_metrics = _mean_metrics(sums, nb)
+                if (
+                    save_every
+                    and nb < spe
+                    and (epoch * spe + nb) % save_every == 0
+                    and process_index() == 0
+                ):
+                    ckpt.save(
+                        epoch * spe + nb,
+                        jax.device_get(state.params),
+                        jax.device_get(state.opt_state),
+                        config=cfg.to_dict(),
+                        meta={
+                            "epoch": epoch,
+                            "batch_in_epoch": nb,
+                            "steps_per_epoch": spe,
+                        },
+                    )
+            train_metrics = _mean_metrics(sums, nb - nb0)
             dt = time.time() - t0
             if logger:
                 logger.log_dict(train_metrics, epoch, "Train")
             print(
                 f"epoch {epoch}: "
                 + " ".join(f"{k}={v:.4f}" for k, v in train_metrics.items())
-                + f" ({dt:.1f}s, {nb} steps)"
+                + f" ({dt:.1f}s, {nb - nb0} steps)"
             )
 
             if val_dl is not None and (epoch % eval_every == 0 or epoch == max_epochs - 1):
@@ -180,11 +221,25 @@ def _train_loop(
                         + " ".join(f"{k}={v:.4f}" for k, v in final_val.items())
                     )
                 if process_index() == 0:
+                    # with save_every_steps, ALL keys live in the global-
+                    # step space (monotonic across mid-epoch saves);
+                    # meta marks the epoch as fully consumed
+                    key = (epoch + 1) * spe if save_every else epoch
+                    meta = (
+                        {
+                            "epoch": epoch,
+                            "batch_in_epoch": spe,
+                            "steps_per_epoch": spe,
+                        }
+                        if save_every
+                        else None
+                    )
                     ckpt.save(
-                        epoch,
+                        key,
                         jax.device_get(state.params),
                         jax.device_get(state.opt_state),
                         config=cfg.to_dict(),
+                        meta=meta,
                     )
                     if logger:
                         logger.save(ckpt.directory)
