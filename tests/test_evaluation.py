@@ -137,6 +137,37 @@ class TestHarness:
         assert 0 <= row["SSIM"] <= 1
 
 
+class TestUpscaleCLI:
+    def test_video_file_roundtrip(self, run_dir, tmp_path, rng):
+        """upscale CLI: mp4 in -> 4x mp4 out (windowed), plus the
+        frame-folder output and --tile code paths."""
+        from vsrlab_tpu.data.video_io import read_video, write_video
+        from vsrlab_tpu.evaluation.upscale import main as upscale_main
+
+        src = tmp_path / "in.mp4"
+        write_video(src, rng.random((5, 16, 16, 3)).astype(np.float32), fps=8)
+
+        out = tmp_path / "out.mp4"
+        upscale_main([
+            "--cfg-dir", run_dir, "--input", str(src), "--output", str(out),
+            "--window-size", "2",
+        ])
+        frames, _, fps, h, w = read_video(out)
+        assert (h, w) == (64, 64) and len(frames) == 5
+        assert abs(fps - 8) < 0.5  # source fps preserved
+
+        out_dir = tmp_path / "frames_out"
+        upscale_main([
+            "--cfg-dir", run_dir, "--input", str(src),
+            "--output", str(out_dir), "--window-size", "3",
+            "--tile", "12", "--tile-overlap", "4",
+        ])
+        pngs = sorted(out_dir.glob("*.png"))
+        assert len(pngs) == 5
+        img = cv2.imread(str(pngs[0]))
+        assert img.shape == (64, 64, 3)
+
+
 class TestParamsBench:
     def test_speed_bench(self, run_dir):
         model, params, _ = load_test_model(run_dir)

@@ -16,3 +16,4 @@ __all__ = [
     "speed_bench",
 ]
 from vsrlab_tpu.evaluation.tiled import tiled_forward  # noqa: F401
+from vsrlab_tpu.evaluation.upscale import upscale  # noqa: F401
