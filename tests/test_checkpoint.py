@@ -20,6 +20,58 @@ def make_state(lr_example):
 
 
 class TestCheckpoint:
+    def test_meta_sidecars_pruned_with_rotation(self, tmp_path, rng):
+        """meta_<key>.json sidecars follow orbax's max_to_keep rotation,
+        and a meta-less save clears a stale sidecar for its key."""
+        lr = jnp.asarray(rng.random((1, 2, 8, 8, 3)), jnp.float32)
+        _, state = make_state(lr)
+        params = jax.device_get(state.params)
+        d = tmp_path / "ckpt"
+        mgr = CheckpointManager(str(d), max_to_keep=2)
+        for k in (1, 2, 3):
+            mgr.save(k, params, meta={"epoch": 0, "batch_in_epoch": k,
+                                      "steps_per_epoch": 4})
+        assert not (d / "meta_1.json").exists()  # rotated out
+        assert (d / "meta_2.json").exists() and (d / "meta_3.json").exists()
+        assert mgr.load_meta(1) is None
+
+        mgr.save(4, params)  # meta-less save
+        assert not (d / "meta_4.json").exists()
+        # and stale sidecar for a re-saved key is cleared
+        mgr.save(3, params)
+        assert mgr.load_meta(3) is None
+        mgr.close()
+
+    def test_mid_epoch_resume_rejects_changed_stream(self, tmp_path, rng):
+        """A mid-epoch checkpoint cannot resume against loaders with a
+        different steps-per-epoch (batch size / dataset changed)."""
+        import pytest
+
+        from vsrlab_tpu.train.train import restore_state
+
+        lr = jnp.asarray(rng.random((1, 2, 8, 8, 3)), jnp.float32)
+        _, state = make_state(lr)
+        mgr = CheckpointManager(str(tmp_path / "src"))
+        mgr.save(
+            2,
+            jax.device_get(state.params),
+            jax.device_get(state.opt_state),
+            meta={"epoch": 0, "batch_in_epoch": 2, "steps_per_epoch": 4},
+        )
+        mgr.close()
+        ckpt = CheckpointManager(str(tmp_path / "dst"))
+        cfg = _D({"restore": str(tmp_path / "src")})
+        with pytest.raises(ValueError, match="steps/epoch"):
+            restore_state(
+                state, cfg, ckpt, str(tmp_path / "dst"), steps_per_epoch=8
+            )
+        # matching stream resumes mid-epoch
+        _, e, b = restore_state(
+            state, cfg, ckpt, str(tmp_path / "dst"), steps_per_epoch=4
+        )
+        assert (e, b) == (0, 2)
+        ckpt.close()
+
     def test_save_restore_roundtrip(self, tmp_path, rng):
         lr = jnp.asarray(rng.random((1, 2, 8, 8, 3)), jnp.float32)
         model, state = make_state(lr)

@@ -62,6 +62,20 @@ class CheckpointManager:
         if meta is not None:
             with open(self.directory / f"meta_{epoch}.json", "w") as f:
                 json.dump(meta, f)
+        else:
+            # a meta-less save must not inherit a stale sidecar for a
+            # reused key (e.g. legacy epoch-keyed run in an old step-keyed
+            # directory would silently mis-drive resume)
+            (self.directory / f"meta_{epoch}.json").unlink(missing_ok=True)
+        # prune sidecars orphaned by orbax's max_to_keep rotation
+        live = set(self._mgr.all_steps())
+        for p in self.directory.glob("meta_*.json"):
+            try:
+                key = int(p.stem.split("_", 1)[1])
+            except ValueError:
+                continue
+            if key not in live:
+                p.unlink(missing_ok=True)
         if config is not None:
             # config snapshot for test-time reload (reference
             # src/core/utils.py:54-67, src/test.py:80-82)

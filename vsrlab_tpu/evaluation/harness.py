@@ -59,6 +59,42 @@ def get_video(path, pool=None) -> np.ndarray:
     return np.stack(imgs)[None]
 
 
+def make_forward(model, tile: Optional[int] = None, tile_overlap: int = 16):
+    """Build the sr-only inference callable ``forward(params, clip)``.
+
+    jits ONCE with params as an argument (a fresh jit wrapper per call
+    would re-trace the model per video); ``tile`` wraps it in the
+    official-VRT spatial tiling (evaluation/tiled.py) for models whose
+    single-pass footprint exceeds HBM. Applies the measured-fastest
+    TPU compile options (docs/tpu_kernel_notes.md compiler-option sweep).
+    """
+    opts = (
+        {
+            "xla_tpu_enable_experimental_fusion_cost_model": "true",
+            "xla_tpu_scoped_vmem_limit_kib": "32768",
+        }
+        if jax.default_backend() == "tpu"
+        else None
+    )
+
+    def _sr_only(p, x):
+        out = model.apply({"params": p}, x)
+        return out[0] if isinstance(out, tuple) else out
+
+    raw = jax.jit(_sr_only, compiler_options=opts)
+    if not tile:
+        return raw
+
+    from vsrlab_tpu.evaluation.tiled import tiled_forward
+
+    def forward(p, x):
+        return tiled_forward(
+            lambda z: raw(p, z), x, (tile, tile), tile_overlap, jit=False
+        )
+
+    return forward
+
+
 def windowed_inference(
     forward: Callable,
     params,
@@ -133,36 +169,7 @@ def run_test_matrix(
         cv2 = None
 
     model, params, _cfg = load_test_model(cfg_dir)
-    # measured-fastest inference compile options on v5e
-    # (docs/tpu_kernel_notes.md compiler-option sweep); TPU-only flags
-    opts = (
-        {
-            "xla_tpu_enable_experimental_fusion_cost_model": "true",
-            "xla_tpu_scoped_vmem_limit_kib": "32768",
-        }
-        if jax.default_backend() == "tpu"
-        else None
-    )
-    if tile:
-        from vsrlab_tpu.evaluation.tiled import tiled_forward
-
-        # jit ONCE here (params as an argument, not a closure constant);
-        # tiled_forward must not re-wrap or it re-traces per video.
-        def _sr_only(p, x):
-            out = model.apply({"params": p}, x)
-            return out[0] if isinstance(out, tuple) else out
-
-        raw = jax.jit(_sr_only, compiler_options=opts)
-
-        def forward(p, x):
-            return tiled_forward(
-                lambda z: raw(p, z), x, (tile, tile), tile_overlap, jit=False
-            )
-
-    else:
-        forward = jax.jit(
-            lambda p, x: model.apply({"params": p}, x), compiler_options=opts
-        )
+    forward = make_forward(model, tile, tile_overlap)
 
     metric_fns = {"PSNR": psnr, "SSIM": ssim}
     rows: List[Dict] = []

@@ -44,8 +44,17 @@ def upscale(
     from vsrlab_tpu.evaluation.harness import (
         get_video,
         load_test_model,
-        windowed_inference,
+        make_forward,
     )
+
+    out = Path(output_path)
+    to_video = out.suffix.lower() in VIDEO_EXTS
+    if out.suffix and not to_video and not out.is_dir():
+        raise ValueError(
+            f"unrecognised output extension '{out.suffix}' — use one of "
+            f"{sorted(VIDEO_EXTS)} for a video, or a directory path for "
+            "PNG frames"
+        )
 
     inp = Path(input_path)
     if inp.is_dir():
@@ -57,38 +66,29 @@ def upscale(
         src_fps = fps or src_fps
 
     model, params, _cfg = load_test_model(cfg_dir)
-    opts = (
-        {
-            "xla_tpu_enable_experimental_fusion_cost_model": "true",
-            "xla_tpu_scoped_vmem_limit_kib": "32768",
-        }
-        if jax.default_backend() == "tpu"
-        else None
-    )
+    forward = make_forward(model, tile, tile_overlap)
 
-    def _sr_only(p, x):
-        out = model.apply({"params": p}, x)
-        return out[0] if isinstance(out, tuple) else out
-
-    raw = jax.jit(_sr_only, compiler_options=opts)
-    if tile:
-        from vsrlab_tpu.evaluation.tiled import tiled_forward
-
-        def forward(p, x):
-            return tiled_forward(
-                lambda z: raw(p, z), x, (tile, tile), tile_overlap, jit=False
-            )
-
-    else:
-        forward = raw
-
+    # windows run SEQUENTIALLY (unlike the harness's stacked batch, which
+    # shards over a mesh time axis): device memory stays at one window
+    # regardless of video length, and each window's SR streams back to
+    # the host as the next one computes
+    _, t, h, w, c = clip.shape
+    pad = (-t) % window_size
+    clip_np = np.asarray(clip)
+    if pad:
+        clip_np = np.concatenate(
+            [clip_np, np.repeat(clip_np[:, -1:], pad, axis=1)], axis=1
+        )
     t0 = time.time()
-    sr, _n = windowed_inference(forward, params, np.asarray(clip), window_size)
-    sr = np.asarray(jax.numpy.clip(sr[0], 0.0, 1.0))
+    outs = []
+    for i in range(0, clip_np.shape[1], window_size):
+        win = jax.numpy.asarray(clip_np[:, i : i + window_size])
+        sr_win = forward(params, win)
+        outs.append(np.asarray(jax.numpy.clip(sr_win[0], 0.0, 1.0)))
+    sr = np.concatenate(outs, axis=0)[:t]
     dt = time.time() - t0
 
-    out = Path(output_path)
-    if out.suffix.lower() in VIDEO_EXTS:
+    if to_video:
         out.parent.mkdir(parents=True, exist_ok=True)
         write_video(out, sr, codec=codec, fps=src_fps)
     else:

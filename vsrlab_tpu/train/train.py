@@ -42,7 +42,13 @@ def _accumulate(sums: Dict[str, float], metrics) -> Dict[str, float]:
     return sums
 
 
-def restore_state(state, tcfg, ckpt: CheckpointManager, ckpt_dir: str):
+def restore_state(
+    state,
+    tcfg,
+    ckpt: CheckpointManager,
+    ckpt_dir: str,
+    steps_per_epoch: Optional[int] = None,
+):
     """Apply the reference's restore / restore_opt / finetune semantics
     (src/core/utils.py:106-123): any ``restore`` loads weights and resumes
     at ``epoch + 1``; ``restore_opt`` additionally loads optimizer state;
@@ -69,6 +75,13 @@ def restore_state(state, tcfg, ckpt: CheckpointManager, ckpt_dir: str):
         if meta is not None:  # step-keyed checkpoint
             epoch = int(meta["epoch"])
             k, n = int(meta["batch_in_epoch"]), int(meta["steps_per_epoch"])
+            if steps_per_epoch is not None and n != steps_per_epoch:
+                raise ValueError(
+                    f"mid-epoch resume needs the same batch stream: "
+                    f"checkpoint was saved with {n} steps/epoch but the "
+                    f"current loaders yield {steps_per_epoch} (batch size "
+                    "or dataset changed — use finetune instead)"
+                )
             start_epoch, start_batch = (epoch + 1, 0) if k >= n else (epoch, k)
         else:  # legacy epoch-keyed checkpoint
             epoch = key
@@ -116,8 +129,12 @@ def run(cfg: Config) -> Dict[str, float]:
 
     # restore / finetune (reference src/core/utils.py:106-135)
     ckpt_dir = tcfg.get("checkpoint_dir", "./checkpoints")
-    ckpt = CheckpointManager(ckpt_dir)
-    state, start_epoch, start_batch = restore_state(state, tcfg, ckpt, ckpt_dir)
+    ckpt = CheckpointManager(
+        ckpt_dir, max_to_keep=int(tcfg.get("checkpoint_max_to_keep", 3))
+    )
+    state, start_epoch, start_batch = restore_state(
+        state, tcfg, ckpt, ckpt_dir, steps_per_epoch=len(train_dl)
+    )
 
     logger = build_logger(tcfg.get("logger")) if process_index() == 0 else None
 
@@ -193,6 +210,20 @@ def _train_loop(
                 + " ".join(f"{k}={v:.4f}" for k, v in train_metrics.items())
                 + f" ({dt:.1f}s, {nb - nb0} steps)"
             )
+            if save_every and process_index() == 0:
+                # epoch-boundary save happens unconditionally in step-
+                # granular mode (the eval block may not run this epoch)
+                ckpt.save(
+                    (epoch + 1) * spe,
+                    jax.device_get(state.params),
+                    jax.device_get(state.opt_state),
+                    config=cfg.to_dict(),
+                    meta={
+                        "epoch": epoch,
+                        "batch_in_epoch": spe,
+                        "steps_per_epoch": spe,
+                    },
+                )
 
             if val_dl is not None and (epoch % eval_every == 0 or epoch == max_epochs - 1):
                 vsums: Dict[str, float] = {}
@@ -221,26 +252,16 @@ def _train_loop(
                         + " ".join(f"{k}={v:.4f}" for k, v in final_val.items())
                     )
                 if process_index() == 0:
-                    # with save_every_steps, ALL keys live in the global-
-                    # step space (monotonic across mid-epoch saves);
-                    # meta marks the epoch as fully consumed
-                    key = (epoch + 1) * spe if save_every else epoch
-                    meta = (
-                        {
-                            "epoch": epoch,
-                            "batch_in_epoch": spe,
-                            "steps_per_epoch": spe,
-                        }
-                        if save_every
-                        else None
-                    )
-                    ckpt.save(
-                        key,
-                        jax.device_get(state.params),
-                        jax.device_get(state.opt_state),
-                        config=cfg.to_dict(),
-                        meta=meta,
-                    )
+                    if not save_every:
+                        # legacy epoch-keyed save; in step-granular mode
+                        # the epoch boundary was already saved above in
+                        # the global-step key space
+                        ckpt.save(
+                            epoch,
+                            jax.device_get(state.params),
+                            jax.device_get(state.opt_state),
+                            config=cfg.to_dict(),
+                        )
                     if logger:
                         logger.save(ckpt.directory)
 
