@@ -116,6 +116,55 @@ def make_gan_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def restore_generator(g_state, tcfg):
+    """Generator restore with the reference's setup_train semantics
+    (src/core/utils.py:106-123 applied to the generator, train_gan.py:77):
+
+    * ``restore`` alone — weights only (template-less restore + graft, so
+      a SUPERVISED checkpoint with a different optimizer tree loads —
+      the basic_gan fine-tune entry path), resume at epoch+1;
+    * ``restore_opt`` — same-run resume: params + optimizer state
+      (structures match, full-template sharded restore);
+    * ``finetune`` — epoch counter reset to 0.
+
+    Returns ``(g_state, start_epoch)``.
+    """
+    start_epoch = 0
+    if tcfg.get("restore"):
+        src = CheckpointManager(tcfg.restore)
+        if tcfg.get("restore_opt"):
+            key, payload = src.restore(
+                epoch=tcfg.get("restore_step"),
+                template={
+                    "params": jax.device_get(g_state.params),
+                    "opt_state": jax.device_get(g_state.opt_state),
+                },
+            )
+            g_state = g_state.replace(
+                params=payload["params"], opt_state=payload["opt_state"]
+            )
+        else:
+            key, payload = src.restore(epoch=tcfg.get("restore_step"))
+            g_state = g_state.replace(
+                params=jax.tree.map(
+                    lambda t, s: jnp.asarray(s, t.dtype),
+                    g_state.params,
+                    payload["params"],
+                )
+            )
+        # step-keyed checkpoints (supervised save_every_steps) carry the
+        # epoch in a meta sidecar; GAN resume is epoch-granular
+        meta = src.load_meta(key)
+        epoch = int(meta["epoch"]) if meta else key
+        start_epoch = 0 if tcfg.get("finetune") else epoch + 1
+        src.close()
+        print(
+            f"restored generator @ key {key} from {tcfg.restore}; "
+            f"resuming from epoch {start_epoch}"
+        )
+    return g_state, start_epoch
+
+
 def run(cfg: Config) -> Dict[str, float]:
     tcfg = cfg.train
     mesh = create_mesh() if tcfg.get("ddp", True) else create_mesh(1)
@@ -154,14 +203,7 @@ def run(cfg: Config) -> Dict[str, float]:
         tx_d,
     )
 
-    # finetune from a supervised checkpoint (reference basic_gan.yaml)
-    if tcfg.get("restore"):
-        src = CheckpointManager(tcfg.restore)
-        epoch, payload = src.restore(
-            template={"params": jax.device_get(g_state.params)}
-        )
-        g_state = g_state.replace(params=payload["params"])
-        print(f"restored generator weights @ epoch {epoch}")
+    g_state, start_epoch = restore_generator(g_state, tcfg)
 
     perceptual = (
         PerceptualLoss(weight=float(tcfg.perceptual_loss.get("weight", 1e-2)))
@@ -184,7 +226,7 @@ def run(cfg: Config) -> Dict[str, float]:
     with mesh:
         g_state = jax.device_put(g_state, replicated(mesh))
         d_state = jax.device_put(d_state, replicated(mesh))
-        for epoch in range(int(tcfg.get("max_epochs", 1))):
+        for epoch in range(start_epoch, int(tcfg.get("max_epochs", 1))):
             t0 = time.time()
             train_dl.set_epoch(epoch)
             step = steps[epoch > freeze_epochs]
