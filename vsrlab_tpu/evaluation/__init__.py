@@ -16,4 +16,7 @@ __all__ = [
     "speed_bench",
 ]
 from vsrlab_tpu.evaluation.tiled import tiled_forward  # noqa: F401
-from vsrlab_tpu.evaluation.upscale import upscale  # noqa: F401
+
+# NOTE: evaluation.upscale (the video->video CLI) is intentionally NOT
+# imported here: `python -m vsrlab_tpu.evaluation.upscale` would warn
+# about the module pre-existing in sys.modules. Import it directly.
