@@ -57,6 +57,32 @@ class TestConfig:
         cfg = load_config(CONF)
         assert cfg.core.storage_dir == "./logs"
 
+    def test_root_override_processes_group_defaults(self, tmp_path):
+        """A root-level `override /grp: x` must process x.yaml's own
+        defaults list (previously the raw `defaults` key leaked into the
+        config and sub-groups stayed unloaded)."""
+        import yaml as _yaml
+
+        conf = tmp_path / "conf"
+        (conf / "grp" / "sub").mkdir(parents=True)
+        (conf / "default.yaml").write_text(
+            _yaml.safe_dump(
+                {"defaults": [{"grp": "a"}, {"override /grp": "b"}], "x": 1}
+            )
+        )
+        (conf / "grp" / "a.yaml").write_text(
+            _yaml.safe_dump({"defaults": [{"sub": "s"}], "va": 1})
+        )
+        (conf / "grp" / "b.yaml").write_text(
+            _yaml.safe_dump({"defaults": [{"sub": "s"}], "vb": 2})
+        )
+        (conf / "grp" / "sub" / "s.yaml").write_text(_yaml.safe_dump({"leaf": 3}))
+
+        cfg = load_config(config_dir=str(conf))
+        assert cfg.grp.vb == 2
+        assert cfg.grp.sub.leaf == 3
+        assert cfg.grp.get("defaults") is None  # consumed, not leaked
+
     def test_instantiate_model(self):
         cfg = load_config(CONF, overrides=["+experiment=synthetic"])
         model = instantiate(cfg.train.model)
@@ -142,6 +168,52 @@ class TestDatasets:
         val = DatasetVSR(str(tmp_path), split="val", seq=4, train_size=0.67, scale=2)
         assert len(val) == 1
 
+    def test_val_dataset_paired_transforms_stay_aligned(self, tmp_path, rng):
+        """Stochastic transforms in BOTH hr/lr pipelines must make the
+        same random decisions, or paired clips misalign (reference keeps
+        pairs aligned via construction-time severity,
+        src/vsr/dataset.py:67-105; we keep per-call sampling AND
+        alignment by cloning the generator per branch)."""
+        import cv2
+
+        from vsrlab_tpu.data.datasets import ValDatasetVSR
+
+        for name in ("hr", "lr"):
+            (tmp_path / name / "vid0").mkdir(parents=True)
+        for i in range(6):
+            img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+            for name in ("hr", "lr"):  # identical content in both roots
+                cv2.imwrite(str(tmp_path / name / "vid0" / f"{i:03d}.png"), img)
+
+        flip = [{"_target_": "RandomFlip", "horizontal": True, "p": 0.5}]
+        ds = ValDatasetVSR(
+            str(tmp_path / "hr"), str(tmp_path / "lr"), seq=4,
+            hr_augmentation=flip, lr_augmentation=flip, seed=7,
+        )
+        for epoch in range(6):
+            ds.set_epoch(epoch)
+            lr, hr = ds[0]
+            np.testing.assert_array_equal(lr, hr)
+
+    def test_metric_collection_from_config(self):
+        """conf/train/default.yaml's metric node instantiates and
+        computes (names resolve to the built-in PSNR/SSIM)."""
+        cfg = load_config()
+        mc = instantiate(cfg.train.metric)
+        import jax.numpy as jnp
+
+        a = jnp.ones((1, 2, 16, 16, 3)) * 0.5
+        out = mc(a, a)
+        assert set(out) == {"PSNR", "SSIM"}
+        assert float(out["SSIM"]) == pytest.approx(1.0, abs=1e-5)
+
+        with pytest.raises(ValueError, match="unknown metric"):
+            instantiate(
+                Config.from_dict(
+                    {"_target_": "MetricCollection", "metrics": ["LPIPS"]}
+                )
+            )
+
     def test_loader_batches_and_sharding(self):
         ds = SyntheticVSR(num_videos=8, seq=2, height=16, width=16, scale=4)
         dl = DataLoader(ds, batch_size=4, num_workers=2, seed=0)
@@ -166,6 +238,57 @@ class TestDatasets:
         dl.set_epoch(1)
         b = next(iter(dl))["hr"]
         assert not np.allclose(a, b)
+
+    def test_loader_propagates_dataset_errors(self):
+        """A failing __getitem__ must raise in the consumer, not hang it
+        (the producer thread previously died without its sentinel)."""
+
+        class Exploding:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise IOError("corrupt frame")
+                x = np.zeros((2, 4, 4, 3), np.float32)
+                return x, x
+
+        dl = DataLoader(Exploding(), batch_size=4, shuffle=False, num_workers=2)
+        with pytest.raises(IOError, match="corrupt frame"):
+            list(dl)
+
+    def test_loader_tail_batch_padded_across_shards(self):
+        """drop_last=False: the tail global batch wrap-pads so every
+        shard still yields a full local batch."""
+        ds = SyntheticVSR(num_videos=10, seq=2, height=16, width=16, scale=4)
+        shards = [
+            DataLoader(
+                ds, batch_size=8, drop_last=False, shuffle=False,
+                num_shards=4, shard_index=i, seed=0,
+            )
+            for i in range(4)
+        ]
+        for dl in shards:
+            batches = list(dl)
+            assert len(batches) == 2
+            assert all(b["lr"].shape[0] == 2 for b in batches)
+
+    def test_loader_abandoned_iteration_unblocks_producer(self):
+        """Breaking out of iteration early must let the producer exit
+        (it previously blocked forever on a full prefetch queue)."""
+        import threading
+        import time
+
+        before = threading.active_count()
+        ds = SyntheticVSR(num_videos=32, seq=2, height=16, width=16, scale=4)
+        dl = DataLoader(ds, batch_size=4, num_workers=2, prefetch_factor=1)
+        it = iter(dl)
+        next(it)
+        it.close()  # generator finally -> stop.set()
+        deadline = time.time() + 5.0
+        while time.time() < deadline and threading.active_count() > before:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
 
     def test_loader_skip_next_resumes_stream(self):
         """skip_next(k) yields exactly the full stream's tail (step-

@@ -54,6 +54,31 @@ class TestSpyNetImport:
         params = load_torch_spynet(sd)
         assert "basic_module_0" in params
 
+    def test_mmedit_sintel_layout(self, rng):
+        """The raw spynet-sintel checkpoint layout
+        (``basic_module.{i}.basic_module.{j}.conv.*``) — the form the
+        reference positionally remaps (RealBasicVSR/modules/spynet.py:36)
+        — imports directly."""
+        chans = [(8, 32), (32, 64), (64, 32), (32, 16), (16, 2)]
+        sd = {}
+        for i in range(6):
+            for j, (ci, co) in enumerate(chans):
+                key = f"basic_module.{i}.basic_module.{j}.conv"
+                sd[f"{key}.weight"] = rng.standard_normal(
+                    (co, ci, 7, 7)
+                ).astype(np.float32)
+                sd[f"{key}.bias"] = rng.standard_normal(co).astype(np.float32)
+        params = load_torch_spynet(sd)
+        ref_sd = synth_spynet_sd(rng)
+        assert tree_shapes(params) == tree_shapes(load_torch_spynet(ref_sd))
+        got = params["basic_module_2"]["conv_1"]["Conv_0"]["kernel"]
+        want = sd["basic_module.2.basic_module.1.conv.weight"].transpose(2, 3, 1, 0)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_unknown_layout_raises(self):
+        with pytest.raises(ValueError, match="unrecognised SpyNet"):
+            load_torch_spynet({"something.weird": np.zeros((2, 2))})
+
     def test_weights_land_in_right_level(self, rng):
         sd = synth_spynet_sd(rng)
         params = load_torch_spynet(sd)

@@ -1,5 +1,6 @@
 """Video file IO utilities tests."""
 
+import cv2
 import numpy as np
 import pytest
 
@@ -33,3 +34,27 @@ class TestVideoIO:
         out, _, _, h, w = read_video(tmp_path / "lr_crf_30" / "a.mp4")
         assert (h, w) == (16, 16)
         assert out.shape[0] == 4
+
+    def test_compress_video_crf_changes_severity(self, tmp_path, rng):
+        """cv2's encoder quality knob is a no-op on this stack
+        (docs/degradation_calibration.md), so compress_video applies crf
+        severity via the calibrated codec emulator — higher crf must
+        actually mean lower fidelity."""
+        hr = tmp_path / "hr"
+        hr.mkdir()
+        # smooth content so codec error, not encode noise, dominates
+        y, x = np.mgrid[0:64, 0:64] / 64.0
+        frames = np.stack(
+            [np.stack([y * 0.5 + x * 0.3 + t * 0.02] * 3, -1) for t in range(4)]
+        ).astype(np.float32)
+        write_video(hr / "a.mp4", frames, fps=10, crf=5)
+
+        def mse_at(crf):
+            compress_video_folder(tmp_path, crf=crf, scale_factor=2)
+            out, _, _, _, _ = read_video(tmp_path / f"lr_crf_{crf}" / "a.mp4")
+            small = np.stack(
+                [cv2.resize(f, (32, 32), interpolation=cv2.INTER_AREA) for f in frames]
+            )
+            return float(np.mean((out - small) ** 2))
+
+        assert mse_at(40) > 2.0 * mse_at(18)

@@ -97,6 +97,12 @@ register("adam", _adam_factory)
 register("adamw", _adamw_factory)
 register("sgd", _sgd_factory)
 
+# metrics (config surface: conf/train/default.yaml `metric:` node)
+from vsrlab_tpu.core.metrics import MetricCollection  # noqa: E402
+
+register("MetricCollection", MetricCollection)
+register("vsrlab.core.metrics.MetricCollection", MetricCollection)
+
 # schedules
 register("cosine", lambda **kw: ("cosine", kw))
 register("cosine_warmup", lambda **kw: ("cosine_warmup", kw))

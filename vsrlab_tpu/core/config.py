@@ -214,6 +214,11 @@ def load_config(
     for path, option in group_overrides:
         f = config_dir / path.replace(".", "/") / f"{option}.yaml"
         loaded, _ = _load_yaml(f)
+        # process the group file's own defaults list (sub-groups like
+        # conf/train/gan.yaml's `defaults: [data: default, ...]`) — the
+        # experiment path above already does; without this the raw
+        # `defaults` key leaks into the config and sub-groups stay unloaded
+        _apply_defaults(loaded, f.parent)
         cfg.set_path(path, loaded)
 
     for ov in dotted:

@@ -93,13 +93,29 @@ def ssim(
 class MetricCollection:
     """Named bundle of metric functions (reference src/core/metrics.py:5-41).
 
-    ``metrics`` maps display names to callables ``f(sr, hr) -> scalar``.
-    Calling the collection returns ``{name: float}``; inputs are clamped to
-    [0, 1] and flattened to frames, mirroring reference src/core/utils.py:242-247.
+    ``metrics`` maps display names to callables ``f(sr, hr) -> scalar``,
+    or is a sequence of built-in metric NAMES — the config surface
+    (conf/train/default.yaml ``metrics: [PSNR, SSIM]``, mirroring the
+    reference's piqa list). Calling the collection returns
+    ``{name: float}``; inputs are clamped to [0, 1] and flattened to
+    frames, mirroring reference src/core/utils.py:242-247.
     """
 
-    def __init__(self, metrics: Dict[str, Callable] | None = None, prefix: str | None = None, postfix: str | None = None):
-        self.metrics = dict(metrics) if metrics else {"PSNR": psnr, "SSIM": ssim}
+    BUILTIN: Dict[str, Callable] = {}  # filled after psnr/ssim below
+
+    def __init__(self, metrics=None, prefix: str | None = None, postfix: str | None = None):
+        if metrics is None:
+            self.metrics = {"PSNR": psnr, "SSIM": ssim}
+        elif isinstance(metrics, dict):
+            self.metrics = dict(metrics)
+        else:  # sequence of builtin names from config
+            try:
+                self.metrics = {name: self.BUILTIN[name] for name in metrics}
+            except KeyError as e:
+                raise ValueError(
+                    f"unknown metric {e.args[0]!r}; built-ins: "
+                    f"{sorted(self.BUILTIN)}"
+                ) from None
         self.prefix = prefix
         self.postfix = postfix
 
@@ -113,6 +129,9 @@ class MetricCollection:
 
     def clone(self, prefix: str | None = None, postfix: str | None = None):
         return MetricCollection(self.metrics, prefix or self.prefix, postfix or self.postfix)
+
+
+MetricCollection.BUILTIN = {"PSNR": psnr, "SSIM": ssim}
 
 
 def running_metrics(

@@ -44,12 +44,17 @@ def load_torch_spynet(state_dict) -> dict:
     """SpyNet pyramid weights → flax params for
     :class:`vsrlab_tpu.models.spynet.SpyNet`.
 
-    Accepts any of the reference layouts:
+    Accepts any of the layouts in the family:
       * VRT variant: ``basic_module.{i}.basic_module.{0,2,4,6,8}.*``
-        (src/vsr/models/VRT/modules/spynet.py:65-79); a ``params.``
+        (torch Sequential with interleaved ReLUs,
+        src/vsr/models/VRT/modules/spynet.py:65-79); a ``params.``
         prefix (the sintel checkpoint wrapper) is stripped;
-      * upstream sintel keys ``module.moduleBasic...`` are remapped the
-        way the reference does (RealBasicVSR/modules/spynet.py:32-36).
+      * ConvReLU variant ``basic_module.{i}.basic_module.{j}.0.*`` —
+        what the reference's positional remap of the sintel checkpoint
+        produces (RealBasicVSR/modules/spynet.py:36 inserts ``.0``);
+      * mmedit sintel layout ``basic_module.{i}.basic_module.{j}.conv.*``
+        (the raw spynet-sintel checkpoint the reference remaps) and its
+        ``.conv.0`` ConvModule form.
     """
     sd = {}
     for k, v in state_dict.items():
@@ -57,17 +62,28 @@ def load_torch_spynet(state_dict) -> dict:
         sd[k] = v
 
     params: Dict[str, Any] = {}
-    pat = re.compile(r"basic_module\.(\d)\.basic_module\.(\d+)\.weight")
+    pat = re.compile(r"basic_module\.(\d)\.basic_module\.")
     levels = sorted({int(m.group(1)) for k in sd if (m := pat.match(k))})
     if not levels:
         raise ValueError("unrecognised SpyNet state dict layout")
     for i in levels:
         mod: Dict[str, Any] = {}
         for j in range(5):
-            # torch Sequential indices 0,2,4,6,8 (ReLUs between)
-            src = f"basic_module.{i}.basic_module.{2 * j}"
-            if f"{src}.weight" not in sd:
-                src = f"basic_module.{i}.basic_module.{j}.0"  # ConvReLU variant
+            base = f"basic_module.{i}.basic_module"
+            candidates = (
+                f"{base}.{2 * j}",       # Sequential w/ interleaved ReLUs
+                f"{base}.{j}.0",          # ConvReLU(.0 = Conv2d)
+                f"{base}.{j}.conv",       # mmedit sintel ConvModule
+                f"{base}.{j}.conv.0",     # ConvModule wrapping Sequential
+            )
+            src = next(
+                (c for c in candidates if f"{c}.weight" in sd), None
+            )
+            if src is None:
+                raise ValueError(
+                    f"unrecognised SpyNet layout at level {i} conv {j}; "
+                    f"tried {candidates}"
+                )
             mod[f"conv_{j}"] = {"Conv_0": _conv(sd, src)}
         params[f"basic_module_{i}"] = mod
     return params

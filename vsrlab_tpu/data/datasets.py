@@ -152,12 +152,20 @@ class ValDatasetVSR:
             x for x in self.videos_lr[index].glob("*") if x.is_file()
         )
         start = int(rng.integers(0, max(len(hr_frames) - self.seq, 0) + 1))
-        hr = np.stack([load_frame(f) for f in hr_frames[start : start + self.seq]])
-        lr = np.stack([load_frame(f) for f in lr_frames[start : start + self.seq]])
+        hr = load_clip(hr_frames[start : start + self.seq])
+        lr = load_clip(lr_frames[start : start + self.seq])
+        # paired pipelines must see IDENTICAL random draws, or stochastic
+        # geometric transforms (flips/rotations) misalign the lr/hr pair:
+        # clone the generator state for each branch instead of consuming
+        # one generator sequentially (per-call severity sampling is the
+        # round-2 fix of reference bug SURVEY.md §7.4 — this keeps it
+        # while preserving the reference's pair alignment,
+        # src/vsr/dataset.py:67-105)
+        seed_tuple = (self.seed, self._epoch, index, 1)
         if self.hr_aug:
-            hr = self.hr_aug(hr, rng)
+            hr = self.hr_aug(hr, np.random.default_rng(seed_tuple))
         if self.lr_aug:
-            lr = self.lr_aug(lr, rng)
+            lr = self.lr_aug(lr, np.random.default_rng(seed_tuple))
         return lr, hr
 
 

@@ -80,6 +80,13 @@ class DataLoader:
             if k < skip:
                 continue
             idx = order[b0 : b0 + self.global_batch]
+            if len(idx) < self.global_batch:
+                # tail batch (drop_last=False): wrap-pad so every shard's
+                # slice stays full and equal-sized (DistributedSampler's
+                # padding convention)
+                idx = np.concatenate(
+                    [idx, order[: self.global_batch - len(idx)]]
+                )
             # this process's contiguous slice of the global batch
             lo = self.shard_index * self.local_batch
             yield idx[lo : lo + self.local_batch]
@@ -87,20 +94,37 @@ class DataLoader:
     def __iter__(self) -> Iterator:
         batches = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error: list = []
+
+        def _put(item) -> bool:
+            """Bounded put that re-checks ``stop`` so an abandoned
+            consumer never leaves the producer blocked on a full queue."""
+            while not stop.is_set():
+                try:
+                    batches.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idx in self._index_stream():
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, idx))
-                    lr = np.stack([s[0] for s in samples])
-                    hr = np.stack([s[1] for s in samples])
-                    batch = {"lr": lr, "hr": hr}
-                    if self.device_put is not None:
-                        batch = self.device_put(batch)
-                    batches.put(batch)
-            batches.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx in self._index_stream():
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, idx))
+                        lr = np.stack([s[0] for s in samples])
+                        hr = np.stack([s[1] for s in samples])
+                        batch = {"lr": lr, "hr": hr}
+                        if self.device_put is not None:
+                            batch = self.device_put(batch)
+                        if not _put(batch):
+                            return
+            except Exception as e:  # surfaced to the consumer, not a hang
+                error.append(e)
+            finally:
+                _put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -108,6 +132,8 @@ class DataLoader:
             while True:
                 batch = batches.get()
                 if batch is None:
+                    if error:
+                        raise error[0]
                     return
                 yield batch
         finally:

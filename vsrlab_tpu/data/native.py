@@ -12,6 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -21,11 +22,23 @@ _NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
 _LIB_PATH = _NATIVE_DIR / "libvsrio.so"
 _lib = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    """Build+dlopen under ``_load_lock``: concurrent first calls from
+    loader worker threads must not race `make` against a half-written
+    .so (check-then-act was unlocked before)."""
+    global _lib, _tried
+    if _lib is not None or _tried:  # another thread won the race
         return _lib
     _tried = True
     if not _LIB_PATH.exists():

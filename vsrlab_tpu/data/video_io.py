@@ -68,7 +68,20 @@ def write_video(path, frames: np.ndarray, codec: str = "mp4v",
 
 def compress_video(path_hr, path_lr, crf: int, scale_factor: int):
     """Downscale ÷scale_factor + re-encode at crf
-    (reference augmentations.py:107-112)."""
+    (reference augmentations.py:107-112).
+
+    cv2's encoder quality knob is a measured no-op on this stack
+    (docs/degradation_calibration.md: identical bytes at every
+    VIDEOWRITER_PROP_QUALITY), so crf severity is applied to the FRAMES
+    via the calibrated DCT-residual codec emulator before encoding —
+    the same mechanism the training-time degradation pipeline uses.
+    File size is still not rate-controlled; the visual severity is.
+    """
+    from vsrlab_tpu.data.codec_emulator import (
+        crf_to_quality,
+        dct_codec_roundtrip,
+    )
+
     frames, codec, fps, h, w = read_video(path_hr)
     assert h % scale_factor == 0, f"{h=} not divisible by {scale_factor}"
     assert w % scale_factor == 0, f"{w=} not divisible by {scale_factor}"
@@ -79,6 +92,8 @@ def compress_video(path_hr, path_lr, crf: int, scale_factor: int):
             for f in frames
         ]
     )
+    if crf > 0:
+        small = dct_codec_roundtrip(small, quality=crf_to_quality(crf))
     write_video(path_lr, small, codec="mp4v", fps=fps, crf=crf)
 
 
