@@ -55,6 +55,16 @@ class DataLoader:
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
+    def _collate(self, samples) -> dict:
+        """Stack per-sample tuples into a batch dict. Subclasses override
+        this (only) to batch other sample layouts — the producer/consumer
+        machinery in ``__iter__`` (error propagation, abandonment, stop
+        handling) is shared."""
+        return {
+            "lr": np.stack([s[0] for s in samples]),
+            "hr": np.stack([s[1] for s in samples]),
+        }
+
     def skip_next(self, n_batches: int):
         """Skip the first ``n_batches`` of the NEXT iteration only —
         step-granular resume: the shuffle order is a pure function of
@@ -114,9 +124,7 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, idx))
-                        lr = np.stack([s[0] for s in samples])
-                        hr = np.stack([s[1] for s in samples])
-                        batch = {"lr": lr, "hr": hr}
+                        batch = self._collate(samples)
                         if self.device_put is not None:
                             batch = self.device_put(batch)
                         if not _put(batch):

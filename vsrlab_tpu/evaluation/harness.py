@@ -182,6 +182,7 @@ def run_test_matrix(
             video_paths = sorted(p for p in video_folder.glob("*") if p.is_dir())
             sums = {k: 0.0 for k in metrics}
             bpp = cf = 0.0
+            n_bitrate = 0  # videos with encoded files present
             for video_lr_path in video_paths:
                 t0 = time.time()
                 vname = video_lr_path.name
@@ -197,6 +198,7 @@ def run_test_matrix(
                     bits_comp = comp_file.stat().st_size * 8
                     cf += bits_comp / bits_orig
                     bpp += bits_comp / (cc * hh * ww * f)
+                    n_bitrate += 1
 
                 sr, n_windows = windowed_inference(
                     forward, params, video_lr, window_size, mesh
@@ -224,10 +226,14 @@ def run_test_matrix(
                 )
 
             n = max(len(video_paths), 1)
+            # cf/bpp average over the videos actually measured (encoded
+            # files present), not all videos — averaging over n would
+            # silently bias the stats low when files are missing
+            nb = max(n_bitrate, 1)
             rows.append(
                 {
-                    "cf": cf / n,
-                    "bpp": bpp / n,
+                    "cf": cf / nb,
+                    "bpp": bpp / nb,
                     "fps": fps,
                     "crf": crf,
                     **{k: v / n for k, v in sums.items()},

@@ -28,10 +28,14 @@ def build_schedule(spec, base_lr: float) -> Callable[[int], float]:
             base_lr, int(kw.get("T_max", 1_000_000)), float(kw.get("eta_min", 0.0))
         )
     if name == "cosine_warmup":
+        min_lr, min_lr_pow = kw.get("min_lr"), kw.get("min_lr_pow")
+        if min_lr is None and min_lr_pow is None:
+            min_lr = 0.0  # the scheduler requires exactly one of the two
         return schedulers.cosine_annealing_linear_warmup(
             max_lr=base_lr,
             first_cycle_steps=int(kw.get("first_cycle_steps", 1_000_000)),
-            min_lr=kw.get("min_lr"),
+            min_lr=min_lr,
+            min_lr_pow=min_lr_pow,
             cycle_mult=float(kw.get("cycle_mult", 1.0)),
             warmup_steps=int(kw.get("warmup_steps", 0)),
             gamma=float(kw.get("gamma", 1.0)),
@@ -88,9 +92,11 @@ def build_loaders(
     device_put: Optional[Callable] = None,
     num_shards: int = 1,
     shard_index: int = 0,
+    seed: int = 0,
 ) -> Tuple[DataLoader, Optional[DataLoader]]:
     """Train/val loaders (reference build_loaders,
-    src/core/utils.py:193-233)."""
+    src/core/utils.py:193-233). ``seed`` drives the shuffle order
+    (reference: the seeded DistributedSampler)."""
     train_ds = instantiate(data_cfg.datasets.train)
     val_ds = (
         instantiate(data_cfg.datasets.val)
@@ -103,6 +109,7 @@ def build_loaders(
         num_shards=num_shards,
         shard_index=shard_index,
         device_put=device_put,
+        seed=int(seed),
     )
     train_dl = DataLoader(
         train_ds, batch_size=int(data_cfg.batch_size), shuffle=True, **common

@@ -189,6 +189,7 @@ def run(cfg: Config) -> Dict[str, float]:
         device_put=lambda b: shard_batch(b, mesh),
         num_shards=jax.process_count(),
         shard_index=jax.process_index(),
+        seed=int(cfg.get("seed_index") or 0),
     )
 
     lr0, hr0 = train_dl.dataset[0]
@@ -259,14 +260,16 @@ def run(cfg: Config) -> Dict[str, float]:
                         "  val: "
                         + " ".join(f"{k}={v:.4f}" for k, v in final_val.items())
                     )
-            if process_index() == 0:
-                ckpt.save(
-                    epoch,
-                    jax.device_get(g_state.params),
-                    jax.device_get(g_state.opt_state),
-                    extra=None,
-                    config=cfg.to_dict(),
-                )
+            # collective: every process calls the orbax save (it gates
+            # the actual IO internally); p0-only gating would deadlock
+            # multi-host runs
+            ckpt.save(
+                epoch,
+                jax.device_get(g_state.params),
+                jax.device_get(g_state.opt_state),
+                extra=None,
+                config=cfg.to_dict(),
+            )
 
     if logger:
         logger.close()

@@ -144,35 +144,16 @@ def make_level_step(unit, pyramid, cleaner_apply, k: int, tx, train: bool):
 
 
 class FlowLoader(DataLoader):
-    """Batches (f1, f2, flow) triplets into {"x1","x2","flow"}."""
+    """Batches (f1, f2, flow) triplets into {"x1","x2","flow"} — only the
+    collate differs; the producer/consumer machinery (error propagation,
+    abandoned-iteration handling) is the base DataLoader's."""
 
-    def __iter__(self):
-        import queue
-        import threading
-        from concurrent.futures import ThreadPoolExecutor
-
-        batches = queue.Queue(maxsize=self.prefetch)
-
-        def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idx in self._index_stream():
-                    samples = list(pool.map(self.dataset.__getitem__, idx))
-                    batch = {
-                        "x1": np.stack([s[0] for s in samples]),
-                        "x2": np.stack([s[1] for s in samples]),
-                        "flow": np.stack([s[2] for s in samples]),
-                    }
-                    if self.device_put is not None:
-                        batch = self.device_put(batch)
-                    batches.put(batch)
-            batches.put(None)
-
-        threading.Thread(target=producer, daemon=True).start()
-        while True:
-            b = batches.get()
-            if b is None:
-                return
-            yield b
+    def _collate(self, samples) -> dict:
+        return {
+            "x1": np.stack([s[0] for s in samples]),
+            "x2": np.stack([s[1] for s in samples]),
+            "flow": np.stack([s[2] for s in samples]),
+        }
 
 
 def train_one_level(
@@ -224,6 +205,7 @@ def train_one_level(
             nb += 1
         tr = _mean_metrics(sums, nb)
         vsums, vn = {}, 0
+        pred = None
         for batch in val_dl:
             vmetrics, pred = eval_step(params, prev_params, batch)
             _accumulate(vsums, vmetrics)
@@ -232,13 +214,14 @@ def train_one_level(
         if logger:
             logger.log_dict({f"Loss {k}": tr.get("Loss", 0.0)}, epoch, "Train")
             logger.log_dict({f"Loss {k}": vl.get("Loss", 0.0)}, epoch, "Val")
-            logger.log_flow(epoch, f"Val_{k}", pred=np.asarray(pred[:4]))
+            if pred is not None:  # val split can be empty (drop_last)
+                logger.log_flow(epoch, f"Val_{k}", pred=np.asarray(pred[:4]))
         print(
             f"level {k} epoch {epoch}: train={tr.get('Loss', 0):.4f} "
             f"val={vl.get('Loss', 0):.4f} ({time.time() - t0:.1f}s, {nb} steps)"
         )
-        if process_index() == 0:
-            ckpt.save(epoch, jax.device_get(params), jax.device_get(opt_state))
+        # collective orbax save: all processes call it
+        ckpt.save(epoch, jax.device_get(params), jax.device_get(opt_state))
     ckpt.close()
     return params
 

@@ -91,31 +91,47 @@ def make_supervised_train_step(
         if num_grad_accum == 1:
             (loss, aux), grads = grad_fn(state.params, lr, hr)
             sr = aux["sr"]
-        else:
-            b = lr.shape[0]
-            mb = b // num_grad_accum
-            lr_m = lr.reshape((num_grad_accum, mb) + lr.shape[1:])
-            hr_m = hr.reshape((num_grad_accum, mb) + hr.shape[1:])
+            new_state = state.apply_gradients(grads=grads)
+            metrics = {"Loss": loss}
+            if compute_metrics:
+                metrics.update(default_metrics(sr, hr))
+            return new_state, metrics
 
-            def accum(carry, xs):
-                g_acc, l_acc = carry
-                lr_i, hr_i = xs
-                (l, aux_i), g = grad_fn(state.params, lr_i, hr_i)
-                g_acc = jax.tree.map(jnp.add, g_acc, g)
-                return (g_acc, l_acc + l), aux_i["sr"]
+        # num_grad_accum > 1: scan microbatches, carrying only the grad
+        # sum and SCALAR metric sums — stacking each microbatch's SR
+        # output (the old formulation) would materialise the full-batch
+        # activation footprint grad accumulation exists to avoid
+        b = lr.shape[0]
+        mb = b // num_grad_accum
+        lr_m = lr.reshape((num_grad_accum, mb) + lr.shape[1:])
+        hr_m = hr.reshape((num_grad_accum, mb) + hr.shape[1:])
 
-            g0 = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, loss), sr_m = jax.lax.scan(
-                accum, (g0, jnp.zeros((), jnp.float32)), (lr_m, hr_m)
-            )
-            grads = jax.tree.map(lambda g: g / num_grad_accum, grads)
-            loss = loss / num_grad_accum
-            sr = sr_m.reshape((b,) + sr_m.shape[2:])
+        def accum(carry, xs):
+            g_acc, l_acc, m_acc = carry
+            lr_i, hr_i = xs
+            (l, aux_i), g = grad_fn(state.params, lr_i, hr_i)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            if compute_metrics:
+                m_i = default_metrics(aux_i["sr"], hr_i)
+                m_acc = {k: m_acc[k] + m_i[k] for k in m_acc}
+            return (g_acc, l_acc + l, m_acc), None
 
+        g0 = jax.tree.map(jnp.zeros_like, state.params)
+        m0 = (
+            {"PSNR": jnp.zeros((), jnp.float32), "SSIM": jnp.zeros((), jnp.float32)}
+            if compute_metrics
+            else {}
+        )
+        (grads, loss, msums), _ = jax.lax.scan(
+            accum, (g0, jnp.zeros((), jnp.float32), m0), (lr_m, hr_m)
+        )
+        grads = jax.tree.map(lambda g: g / num_grad_accum, grads)
         new_state = state.apply_gradients(grads=grads)
-        metrics = {"Loss": loss}
+        metrics = {"Loss": loss / num_grad_accum}
         if compute_metrics:
-            metrics.update(default_metrics(sr, batch["hr"]))
+            metrics.update(
+                {k: v / num_grad_accum for k, v in msums.items()}
+            )
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

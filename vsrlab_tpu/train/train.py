@@ -33,12 +33,18 @@ from vsrlab_tpu.train.step import make_eval_step, make_supervised_train_step
 
 
 def _mean_metrics(sums: Dict[str, float], count: int) -> Dict[str, float]:
-    return {k: v / max(count, 1) for k, v in sums.items()}
+    # the single host sync point: device scalars accumulated lazily in
+    # _accumulate are read back once per epoch, not once per batch
+    return {k: float(v) / max(count, 1) for k, v in sums.items()}
 
 
 def _accumulate(sums: Dict[str, float], metrics) -> Dict[str, float]:
+    """Accumulate metric sums WITHOUT a host readback: ``float(v)`` per
+    batch would block on the step and forfeit async dispatch (the
+    on-device-metrics design of train/step.py); device scalars add
+    lazily and ``_mean_metrics`` syncs once per epoch."""
     for k, v in metrics.items():
-        sums[k] = sums.get(k, 0.0) + float(v)
+        sums[k] = sums.get(k, 0.0) + v
     return sums
 
 
@@ -87,7 +93,19 @@ def restore_state(
             epoch = key
             start_epoch = epoch + 1
         if tcfg.get("restore_opt"):
-            state = state.replace(opt_state=payload["opt_state"], step=epoch)
+            # state.step counts optimizer updates; reconstruct the global
+            # step from the checkpoint position when the stream geometry
+            # is known (meta or current loaders), else keep the old
+            # epoch-as-step approximation
+            if meta is not None:
+                gstep = int(meta["epoch"]) * int(meta["steps_per_epoch"]) + int(
+                    meta["batch_in_epoch"]
+                )
+            elif steps_per_epoch is not None:
+                gstep = (epoch + 1) * steps_per_epoch
+            else:
+                gstep = epoch
+            state = state.replace(opt_state=payload["opt_state"], step=gstep)
         if tcfg.get("finetune"):
             start_epoch, start_batch = 0, 0
             print("finetuning mode")
@@ -120,6 +138,7 @@ def run(cfg: Config) -> Dict[str, float]:
         device_put=lambda b: shard_batch(b, mesh),
         num_shards=jax.process_count(),
         shard_index=jax.process_index(),
+        seed=int(cfg.get("seed_index") or 0),
     )
 
     # example input from the dataset's first sample (shapes only)
@@ -184,11 +203,13 @@ def _train_loop(
                 state, metrics = train_step(state, batch)
                 _accumulate(sums, metrics)
                 nb += 1
+                # NOTE: orbax saves are collective — every process must
+                # call them (orbax gates the actual IO internally);
+                # process-0-only gating would deadlock multi-host runs
                 if (
                     save_every
                     and nb < spe
                     and (epoch * spe + nb) % save_every == 0
-                    and process_index() == 0
                 ):
                     ckpt.save(
                         epoch * spe + nb,
@@ -210,7 +231,7 @@ def _train_loop(
                 + " ".join(f"{k}={v:.4f}" for k, v in train_metrics.items())
                 + f" ({dt:.1f}s, {nb - nb0} steps)"
             )
-            if save_every and process_index() == 0:
+            if save_every:
                 # epoch-boundary save happens unconditionally in step-
                 # granular mode (the eval block may not run this epoch)
                 ckpt.save(
@@ -239,31 +260,34 @@ def _train_loop(
                     if logger:
                         logger.log_dict(final_val, epoch, "Val")
                         # lr/sr/hr grids from the last val batch
-                        # (reference logger.log_images, loggers.py:36-57)
-                        logger.log_images(
-                            epoch,
-                            "Val",
-                            lr=np.asarray(batch["lr"][:1]),
-                            sr=np.asarray(jnp.clip(sr[:1], 0, 1)),
-                            hr=np.asarray(batch["hr"][:1]),
-                        )
+                        # (reference logger.log_images, loggers.py:36-57);
+                        # multi-host global arrays span processes and
+                        # cannot be read back wholesale — skip the grids
+                        if getattr(batch["lr"], "is_fully_addressable", True):
+                            logger.log_images(
+                                epoch,
+                                "Val",
+                                lr=np.asarray(batch["lr"][:1]),
+                                sr=np.asarray(jnp.clip(sr[:1], 0, 1)),
+                                hr=np.asarray(batch["hr"][:1]),
+                            )
                     print(
                         f"  val: "
                         + " ".join(f"{k}={v:.4f}" for k, v in final_val.items())
                     )
-                if process_index() == 0:
-                    if not save_every:
-                        # legacy epoch-keyed save; in step-granular mode
-                        # the epoch boundary was already saved above in
-                        # the global-step key space
-                        ckpt.save(
-                            epoch,
-                            jax.device_get(state.params),
-                            jax.device_get(state.opt_state),
-                            config=cfg.to_dict(),
-                        )
-                    if logger:
-                        logger.save(ckpt.directory)
+                if not save_every:
+                    # legacy epoch-keyed save; in step-granular mode the
+                    # epoch boundary was already saved above in the
+                    # global-step key space. Collective: all processes
+                    # call it (orbax gates the IO internally).
+                    ckpt.save(
+                        epoch,
+                        jax.device_get(state.params),
+                        jax.device_get(state.opt_state),
+                        config=cfg.to_dict(),
+                    )
+                if logger:
+                    logger.save(ckpt.directory)
 
     return final_val
 
