@@ -236,6 +236,24 @@ class TestTinyVRT:
             )
 
 
+class TestShrunkWindowReuse:
+    def test_rtmsa_params_serve_shorter_clips(self, rng):
+        """The relative-position bias table is sized by the DECLARED
+        window (reference window_attention.py:121-124), so params
+        initialised at T >= window apply to shorter clips whose runtime
+        window shrinks (was: ScopeParamShapeError)."""
+        from vsrlab_tpu.models.vrt.tmsa import RTMSA
+
+        m = RTMSA(dim=16, depth=1, num_heads=2, window_size=(6, 8, 8),
+                  drop_path=[0.0])
+        x6 = jnp.asarray(rng.random((1, 6, 16, 16, 16)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x6)
+        for t in (2, 3, 5):
+            y = m.apply(v, x6[:, :t])
+            assert y.shape == (1, t, 16, 16, 16)
+            assert np.isfinite(np.asarray(y)).all()
+
+
 class TestDropPath:
     """Stochastic depth (reference stochastic_depth.py:4-23) — closes the
     last untested row of docs/parity_map.md §2.5."""

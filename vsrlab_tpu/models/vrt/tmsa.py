@@ -95,9 +95,15 @@ class TMSA(nn.Module):
             attn_mask = None
 
         windows = window_partition(x, window_size)
+        # the DECLARED window sizes the relative-position bias table
+        # (reference window_attention.py:121-124): with a runtime-shrunk
+        # window (input smaller than the declared window) the table must
+        # keep its declared shape — the same params serve every input
+        # size, and the index is sliced [:N, :N] inside — or apply()
+        # after init at a different clip length raises ScopeParamShapeError
         attn = WindowAttention(
             self.dim,
-            tuple(window_size),
+            tuple(self.window_size),
             self.num_heads,
             self.qkv_bias,
             self.qk_scale,

@@ -200,7 +200,6 @@ class _VRTBase(nn.Module):
 
         feat = self._frame_conv(x9, self.embed_dims[0], "conv_first")
 
-        dpr = list(np.linspace(0, self.drop_path_rate, sum(self.depths)))
         body = self._forward_features(
             feat, flows_backward, flows_forward, deterministic
         )

@@ -27,16 +27,12 @@ import numpy as np
 
 Dtype = Any
 
-_linear_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
-
-
-def _bias_init(fan_in: int):
-    bound = 1.0 / np.sqrt(fan_in) if fan_in else 0.0
-
-    def init(key, shape, dtype):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
+# torch-default Linear init, shared with the conv blocks (one source of
+# truth for the init convention)
+from vsrlab_tpu.nn.blocks import (  # noqa: E402
+    torch_conv_kernel_init as _linear_init,
+    uniform_bias_init as _bias_init,
+)
 
 
 def _dense(features: int, in_features: int, use_bias: bool = True, dtype=None, name=None):

@@ -19,7 +19,6 @@ from vsrlab_tpu.nn.blocks import (
     DeformConvPack,
     DeformBlock,
     torch_conv_kernel_init,
-    torch_bias_init,
 )
 from vsrlab_tpu.nn.mlp import Mlp, MixerBlock, MlpMixer
 from vsrlab_tpu.nn.dct import EncoderDCT, DecoderIDCT
@@ -43,5 +42,4 @@ __all__ = [
     "EncoderDCT",
     "DecoderIDCT",
     "torch_conv_kernel_init",
-    "torch_bias_init",
 ]

@@ -34,17 +34,6 @@ torch_conv_kernel_init = jax.nn.initializers.variance_scaling(
 )
 
 
-def torch_bias_init(dtype=jnp.float32):
-    """torch conv/linear default bias: U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
-
-    flax bias initializers don't see fan_in, so we recover it from the
-    kernel-shaped metadata stashed by the calling module via closure. Since
-    linen calls ``bias_init(key, (features,), dtype)`` we cannot; instead
-    modules below pass an explicit fan_in via :func:`uniform_bias_init`.
-    """
-    return jax.nn.initializers.zeros  # fallback; modules use uniform_bias_init
-
-
 def uniform_bias_init(fan_in: int):
     bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
 

@@ -17,18 +17,11 @@ import numpy as np
 
 Dtype = Any
 
-_torch_linear_init = jax.nn.initializers.variance_scaling(
-    1.0 / 3.0, "fan_in", "uniform"
+# torch-default Linear init, shared with the conv blocks
+from vsrlab_tpu.nn.blocks import (  # noqa: E402
+    torch_conv_kernel_init as _torch_linear_init,
+    uniform_bias_init as _bias_init,
 )
-
-
-def _bias_init(fan_in: int):
-    bound = 1.0 / np.sqrt(fan_in) if fan_in else 0.0
-
-    def init(key, shape, dtype):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
 
 
 class Dense(nn.Module):
