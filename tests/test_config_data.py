@@ -323,3 +323,24 @@ class TestLogger:
         assert any(l.get("PSNR/Train") == 30.0 for l in lines)
         media = list((tmp_path / "p" / "run1" / "media").glob("*.png"))
         assert len(media) == 2
+
+    def test_empty_image_batch_does_not_crash(self, tmp_path):
+        from vsrlab_tpu.core.loggers import JsonlLogger
+
+        lg = JsonlLogger(save_dir=str(tmp_path), project="p", id="run2")
+        lg.log_images(0, "Val", sr=np.zeros((0, 8, 8, 3), np.float32))
+        lg.close()
+
+    def test_wandb_backend_missing_raises_clearly(self, tmp_path):
+        """backend: wandb without the package must fail with a clear
+        ImportError before touching the filesystem (was: NameError on the
+        unbound module after opening metrics.jsonl)."""
+        import vsrlab_tpu.core.loggers as loggers
+
+        if loggers._HAS_WANDB:  # pragma: no cover — not on this box
+            pytest.skip("wandb installed")
+        from vsrlab_tpu.core.loggers import build_logger
+
+        with pytest.raises(ImportError, match="wandb"):
+            build_logger({"backend": "wandb", "save_dir": str(tmp_path)})
+        assert not list(tmp_path.glob("**/metrics.jsonl"))

@@ -43,6 +43,24 @@ class TestNativeDecode:
         with pytest.raises(IOError):
             native.decode_clip([bad])
 
+    def test_native_size_mode_rejects_mixed_resolutions(self, tmp_path, rng):
+        """C-API contract: out_h/out_w == 0 means all frames share frame
+        0's size; a mismatched frame must FAIL (1-based index), not write
+        out of bounds at its self-sized offset."""
+        import ctypes
+
+        a = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+        b = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        pa, pb = tmp_path / "a.png", tmp_path / "b.png"
+        cv2.imwrite(str(pa), a)
+        cv2.imwrite(str(pb), b)
+
+        lib = native._load()
+        out = np.empty((2, 8, 8, 3), np.float32)
+        arr = (ctypes.c_char_p * 2)(str(pa).encode(), str(pb).encode())
+        rc = lib.vsrio_decode_clip(arr, 2, native._fptr(out), 0, 0, 2)
+        assert rc == 2  # second frame mismatches frame 0's native size
+
 
 class TestNativeOps:
     def test_bicubic_matches_cv2(self, rng):

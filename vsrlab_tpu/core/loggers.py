@@ -52,6 +52,8 @@ def flow_to_image(flow: np.ndarray) -> np.ndarray:
 def _make_grid(frames: np.ndarray, nrow: int = 8, pad: int = 2) -> np.ndarray:
     """(N, H, W, C) float [0,1] -> one (gh, gw, C) uint8 grid image."""
     n, h, w, c = frames.shape
+    if n == 0:
+        return np.zeros((pad * 2, pad * 2, c), np.uint8)
     ncol = min(nrow, n)
     nrows = (n + ncol - 1) // ncol
     grid = np.zeros(
@@ -138,6 +140,11 @@ class WandbLogger(JsonlLogger):
 
     def __init__(self, save_dir="./logs", project="vsrlab_tpu", id=None,
                  name=None, tags=None, resume="allow", **kw):
+        if not _HAS_WANDB:
+            raise ImportError(
+                "logger backend 'wandb' requested but the wandb package "
+                "is not installed; use backend: jsonl (or auto)"
+            )
         super().__init__(save_dir, project, id, name, tags)
         self.run = _wandb.init(
             project=project, dir=save_dir, id=id, name=name, tags=tags,
@@ -149,6 +156,40 @@ class WandbLogger(JsonlLogger):
         self.run.log(
             {f"{k}/{stage}": float(v) for k, v in metrics.items()}, step=epoch
         )
+
+    def log_images(self, epoch, stage="Val", **clips):
+        """Forward image grids to the run (reference log_images,
+        src/core/loggers.py:36-46) in addition to the local PNGs."""
+        super().log_images(epoch, stage, **clips)
+        for key, clip in clips.items():
+            if clip is None:
+                continue
+            arr = np.asarray(clip, np.float32)
+            if arr.ndim == 5:
+                arr = arr.reshape((-1,) + arr.shape[2:])
+            self.run.log(
+                {f"Prediction {stage}/{key}": _wandb.Image(_make_grid(arr))},
+                step=epoch,
+            )
+
+    def log_flow(self, epoch, stage="Train", **flows):
+        """Forward flow visualisations (reference log_flow,
+        src/core/loggers.py:48-57)."""
+        super().log_flow(epoch, stage, **flows)
+        for key, flow in flows.items():
+            if flow is None:
+                continue
+            arr = np.asarray(flow, np.float32)
+            if arr.ndim == 5:
+                arr = arr.reshape((-1,) + arr.shape[2:])
+            imgs = (
+                np.stack([flow_to_image(f) for f in arr]).astype(np.float32)
+                / 255.0
+            )
+            self.run.log(
+                {f"Flow {stage}/{key}": _wandb.Image(_make_grid(imgs))},
+                step=epoch,
+            )
 
     def save(self, path):
         super().save(path)

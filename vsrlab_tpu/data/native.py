@@ -41,16 +41,19 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:  # another thread won the race
         return _lib
     _tried = True
-    if not _LIB_PATH.exists():
-        try:
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            return None
+    try:
+        # always invoke make: it is an incremental no-op when the .so is
+        # current, and rebuilds a stale one after vsrio.cpp edits (the
+        # old exists()-gate could dlopen an outdated binary forever)
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        if not _LIB_PATH.exists():
+            return None  # no compiler and no prebuilt library
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:

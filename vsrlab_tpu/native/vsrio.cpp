@@ -76,6 +76,17 @@ extern "C" {
 // else the 1-based index of the first file that failed.
 int vsrio_decode_clip(const char** paths, int n, float* out, int out_h,
                       int out_w, int threads) {
+  if (n <= 0) return 0;
+  int ref_h = out_h, ref_w = out_w;
+  if (ref_h <= 0 || ref_w <= 0) {
+    // native-size mode: frame 0 fixes the clip size; every other frame
+    // must match it (writing at self-sized offsets would overrun the
+    // caller's (n, h0, w0, 3) buffer on mixed-resolution inputs)
+    cv::Mat first = cv::imread(paths[0], cv::IMREAD_COLOR);
+    if (first.empty()) return 1;
+    ref_h = first.rows;
+    ref_w = first.cols;
+  }
   std::atomic<int> failed{0};
   parallel_for(n, threads, [&](int i) {
     cv::Mat img = cv::imread(paths[i], cv::IMREAD_COLOR);
@@ -84,12 +95,16 @@ int vsrio_decode_clip(const char** paths, int n, float* out, int out_h,
       failed.compare_exchange_strong(expected, i + 1);
       return;
     }
-    if (out_h > 0 && out_w > 0 && (img.rows != out_h || img.cols != out_w)) {
-      cv::resize(img, img, cv::Size(out_w, out_h), 0, 0, cv::INTER_AREA);
+    if (out_h > 0 && out_w > 0) {
+      if (img.rows != out_h || img.cols != out_w) {
+        cv::resize(img, img, cv::Size(out_w, out_h), 0, 0, cv::INTER_AREA);
+      }
+    } else if (img.rows != ref_h || img.cols != ref_w) {
+      int expected = 0;  // size mismatch = failure, not heap corruption
+      failed.compare_exchange_strong(expected, i + 1);
+      return;
     }
-    const int h = out_h > 0 ? out_h : img.rows;
-    const int w = out_w > 0 ? out_w : img.cols;
-    to_rgb_float(img, out + static_cast<size_t>(i) * h * w * 3);
+    to_rgb_float(img, out + static_cast<size_t>(i) * ref_h * ref_w * 3);
   });
   return failed.load();
 }
@@ -123,6 +138,14 @@ void vsrio_jpeg_degrade(const float* in, int t, int h, int w, int quality,
     std::vector<uint8_t> buf;
     cv::imencode(".jpg", bgr, buf, {cv::IMWRITE_JPEG_QUALITY, quality});
     cv::Mat dec = cv::imdecode(buf, cv::IMREAD_COLOR);
+    if (dec.empty() || dec.rows != h || dec.cols != w) {
+      // encode/decode failure: pass the frame through undegraded rather
+      // than returning uninitialised output memory
+      std::copy(in + static_cast<size_t>(i) * h * w * 3,
+                in + static_cast<size_t>(i + 1) * h * w * 3,
+                out + static_cast<size_t>(i) * h * w * 3);
+      return;
+    }
     to_rgb_float(dec, out + static_cast<size_t>(i) * h * w * 3);
   });
 }
@@ -202,6 +225,10 @@ void quantize_block(float* p, int w, const float* B, const float* qt) {
 
 void quantize_plane(float* p, int h, int w, const float* B, const float* qt,
                     int threads) {
+  // thread spawn/join costs ~10s of microseconds per pool — more than
+  // the DCT work of a small plane (a 32x32 chroma plane is 4 block-rows
+  // of ~2 kFLOP each). Stay serial below ~64 block-rows of work.
+  if (static_cast<long long>(h) * w < 128 * 128) threads = 1;
   parallel_for(h / 8, threads, [&](int by) {
     for (int bx = 0; bx < w / 8; ++bx)
       quantize_block(p + (by * 8) * static_cast<size_t>(w) + bx * 8, w, B, qt);

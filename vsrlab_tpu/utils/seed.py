@@ -21,6 +21,8 @@ def seed_everything(seed: int) -> jax.Array:
     """Seed python/numpy RNGs and return a jax PRNGKey."""
     random.seed(seed)
     np.random.seed(seed % (2**32))
+    # NOTE: affects SUBPROCESSES only — CPython fixes hash randomisation
+    # at interpreter startup, so this cannot change the current process
     os.environ["PYTHONHASHSEED"] = str(seed)
     return jax.random.PRNGKey(seed)
 
