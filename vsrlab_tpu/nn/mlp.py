@@ -12,8 +12,6 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
-import jax
-import numpy as np
 
 Dtype = Any
 

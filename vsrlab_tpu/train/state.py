@@ -10,12 +10,11 @@ scheduler, scaler) quadruple (src/core/utils.py:92-135, :270-281):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
 import optax
-from flax import struct
 from flax.training import train_state
 
 
