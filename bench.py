@@ -134,12 +134,12 @@ def bench_vrt():
     """Secondary metrics: VRT-family inference (driver config #5).
 
     TinyVRT at its default 6-frame 64×64 shape, plus full paper-config
-    VRT (30.68 M params) on a 16×256×256 clip via the official-VRT
-    2×2 spatial tiling (136 px tiles — single-pass exceeds HBM,
-    docs/tpu_kernel_notes.md). Compiles are served by the persistent
-    cache after the first round.
+    VRT (30.68 M params) on a 16×256×256 clip — single-pass, which fits
+    HBM via per-frame-pair chunked alignment (align_chunks=30; the
+    tiled path in evaluation/tiled.py remains for larger inputs —
+    docs/tpu_kernel_notes.md perf pass V). Compiles are served by the
+    persistent cache after the first round.
     """
-    from vsrlab_tpu.evaluation import tiled_forward
     from vsrlab_tpu.models import VRT, TinyVRT
 
     rng = np.random.default_rng(2)
@@ -163,21 +163,25 @@ def bench_vrt():
     out["vrt_tiny_6f64_fps"] = round(6 / _best_time(tiny_sync), 2)
 
     t, s = 16, 256
-    full = VRT(upscale=4, img_size=(t, s, s), dtype=jnp.bfloat16)
+    full = VRT(
+        upscale=4, img_size=(t, s, s), align_chunks=30, dtype=jnp.bfloat16
+    )
     clip = jnp.asarray(rng.random((1, t, s, s, 3)), jnp.float32)
     fv = jax.jit(full.init)(jax.random.PRNGKey(0), clip)
-    raw = jax.jit(lambda v, z: full.apply(v, z)[0])
+
+    @jax.jit
+    def full_fwd(v, z):
+        sr, _ = full.apply(v, z)
+        return jnp.sum(sr)
 
     def full_sync(n):
         acc = None
         for _ in range(n):
-            acc = tiled_forward(
-                lambda z: raw(fv, z), clip, (136, 136), 16, scale=4, jit=False
-            )
-        float(jnp.sum(acc))
+            acc = full_fwd(fv, clip)
+        float(acc)
 
     dt = _best_time(full_sync, n_iters=1, repeats=2)
-    out["vrt_full_16f256_tiled_fps"] = round(t / dt, 3)
+    out["vrt_full_16f256_fps"] = round(t / dt, 3)
     return out
 
 

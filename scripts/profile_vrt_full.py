@@ -54,12 +54,18 @@ def main():
         "protocol; 0 = single-pass)",
     )
     ap.add_argument("--overlap", type=int, default=16)
+    ap.add_argument(
+        "--align-chunks", type=int, default=0,
+        help="chunk each Stage's parallel-warping alignment over the "
+        "frame-pair batch (memory knob for single-pass large shapes)",
+    )
     args = ap.parse_args()
 
     enable_compilation_cache()
     t, s = args.frames, args.size
     model = VRT(
-        upscale=4, img_size=(t, s, s), remat=args.remat, dtype=jnp.bfloat16
+        upscale=4, img_size=(t, s, s), remat=args.remat,
+        align_chunks=args.align_chunks, dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.random((1, t, s, s, 3)), jnp.float32)

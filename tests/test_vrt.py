@@ -212,6 +212,23 @@ class TestTinyVRT:
         )
         assert flow_norm == 0.0
 
+    def test_align_chunks_match_batched(self, rng, model_and_vars):
+        """align_chunks (scan-chunked parallel warping — the lever that
+        fits single-pass full-scale VRT in HBM) must be a pure memory
+        knob: same param tree, same outputs as the fully batched path."""
+        model, variables = model_and_vars
+        cmodel = model.clone(align_chunks=3)
+        x = jnp.asarray(rng.random((1, 4, 32, 32, 3)), jnp.float32)
+        cvars = jax.jit(cmodel.init)(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(cvars) == jax.tree_util.tree_structure(
+            variables
+        )
+        sr, _ = jax.jit(model.apply)(variables, x)
+        src, _ = jax.jit(cmodel.apply)(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(sr), np.asarray(src), rtol=1e-6, atol=1e-6
+        )
+
     @pytest.mark.slow
     def test_remat_matches_gradients(self, rng, model_and_vars):
         """remat=True (required to train full-config VRT within one chip's

@@ -43,6 +43,14 @@ class Stage(nn.Module):
     reshape: str = "none"
     max_residue_magnitude: float = 10.0
     head_shard_axis: Optional[str] = None
+    # Run the parallel-warping alignment in ``align_chunks`` sequential
+    # chunks over the 2·B·(T-1) frame-pair batch (lax.scan with broadcast
+    # params). 0 = fully batched. Numerics are identical (every op is
+    # per-sample); peak memory for the offset fields / packed-gather
+    # windows scales down by the chunk count — the lever that lets
+    # full-scale VRT (16×256×256) run single-pass instead of tiled
+    # (docs/tpu_kernel_notes.md round-3 memory campaign).
+    align_chunks: int = 0
     dtype: Dtype = None
 
     @nn.compact
@@ -125,7 +133,9 @@ class Stage(nn.Module):
     def _aligned_features(self, x, flow_backward, flow_forward):
         """Align neighbour frames with flow + deformable conv
         (reference get_aligned_features, stage.py:109-129) — one batched
-        call per direction instead of a per-frame loop."""
+        call per direction instead of a per-frame loop; optionally
+        chunked over frame pairs (``align_chunks``) to bound peak
+        memory at large spatial scales."""
         b, t, h, w, c = x.shape
         align = FlowGuidedDeformAlign(
             self.dim,
@@ -139,22 +149,55 @@ class Stage(nn.Module):
         def flat(clip):  # (B, T-1, H, W, C) -> (B*(T-1), H, W, C)
             return clip.reshape((-1,) + clip.shape[2:])
 
-        # backward: frame i+1 aligned towards i, for i = 0..t-2
-        x_next = flat(x[:, 1:])
-        fb = flat(flow_backward)
-        warped_b = flow_warp(x_next, fb)
-        aligned_b = align(x_next, [warped_b], flat(x[:, :-1]), [fb])
-        aligned_b = aligned_b.reshape(b, t - 1, h, w, c)
+        def warp_align(mdl, frames, flows, currents):
+            warped = flow_warp(frames, flows)
+            return mdl(frames, [warped], currents, [flows])
+
+        if self.align_chunks > 1:
+            # both directions share pa_deform's params, so they fuse into
+            # ONE (2·B·(T-1)) batch scanned in chunks; per-sample ops make
+            # the result identical to the batched path (equality-tested)
+            frames = jnp.concatenate([flat(x[:, 1:]), flat(x[:, :-1])], 0)
+            flows = jnp.concatenate([flat(flow_backward), flat(flow_forward)], 0)
+            currents = jnp.concatenate([flat(x[:, :-1]), flat(x[:, 1:])], 0)
+            n = frames.shape[0]
+            # largest divisor of n not exceeding the requested chunk count
+            chunks = max(
+                (k for k in range(1, min(self.align_chunks, n) + 1) if n % k == 0)
+            )
+
+            def body(mdl, carry, xs):
+                return carry, warp_align(mdl, *xs)
+
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )
+
+            def chunked(v):
+                return v.reshape((chunks, n // chunks) + v.shape[1:])
+
+            _, aligned = scan(
+                align, None, (chunked(frames), chunked(flows), chunked(currents))
+            )
+            aligned = aligned.reshape(2, b, t - 1, h, w, c)
+            aligned_b, aligned_f = aligned[0], aligned[1]
+        else:
+            # backward: frame i+1 aligned towards i, for i = 0..t-2
+            aligned_b = warp_align(
+                align, flat(x[:, 1:]), flat(flow_backward), flat(x[:, :-1])
+            ).reshape(b, t - 1, h, w, c)
+            # forward: frame i-1 aligned towards i, for i = 1..t-1
+            aligned_f = warp_align(
+                align, flat(x[:, :-1]), flat(flow_forward), flat(x[:, 1:])
+            ).reshape(b, t - 1, h, w, c)
+
         x_backward = jnp.concatenate(
             [aligned_b, jnp.zeros_like(x[:, -1:])], axis=1
         )
-
-        # forward: frame i-1 aligned towards i, for i = 1..t-1
-        x_prev = flat(x[:, :-1])
-        ff = flat(flow_forward)
-        warped_f = flow_warp(x_prev, ff)
-        aligned_f = align(x_prev, [warped_f], flat(x[:, 1:]), [ff])
-        aligned_f = aligned_f.reshape(b, t - 1, h, w, c)
         x_forward = jnp.concatenate(
             [jnp.zeros_like(x[:, :1]), aligned_f], axis=1
         )

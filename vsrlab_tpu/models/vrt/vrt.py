@@ -70,6 +70,11 @@ class _VRTBase(nn.Module):
     # (docs/tpu_kernel_notes.md round-3 full-VRT training section).
     # Forward-only inference is unaffected.
     remat: bool = False
+    # Chunk each Stage's parallel-warping alignment over the frame-pair
+    # batch (see Stage.align_chunks). 0 = fully batched; numerics are
+    # identical. Set for large single-pass inference shapes where the
+    # alignment temporaries dominate peak HBM.
+    align_chunks: int = 0
     dtype: Dtype = None
     # subclass-fixed U-shape
     reshapes: Sequence[str] = ()
@@ -155,6 +160,7 @@ class _VRTBase(nn.Module):
             reshape=self.reshapes[i],
             max_residue_magnitude=10.0 / self.scales[i],
             head_shard_axis=self.head_shard_axis,
+            align_chunks=self.align_chunks,
             dtype=self.dtype,
             name=f"stage{i + 1}",
         )

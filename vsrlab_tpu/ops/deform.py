@@ -58,10 +58,14 @@ def deform_conv2d(
     ho, wo = offset.shape[1], offset.shape[2]
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
 
-    # (N, Ho, Wo, G, taps, 2) with [..., 0]=dy, [..., 1]=dx
-    off = offset.reshape(n, ho, wo, groups, taps, 2).astype(compute_dtype)
+    # (N, Ho, Wo, G, taps, 2) with [..., 0]=dy, [..., 1]=dx. Keep the
+    # offset/mask fields in their INPUT dtype (a bf16 model's offsets are
+    # already bf16-quantised, so the fp32 upcast is exact and can happen
+    # on the tiny per-tap slices instead — at full-VRT scale the upfront
+    # cast kept a multi-hundred-MB fp32 field alive across all 9 taps).
+    off = offset.reshape(n, ho, wo, groups, taps, 2)
     if mask is not None:
-        m = mask.reshape(n, ho, wo, groups, taps).astype(compute_dtype)
+        m = mask.reshape(n, ho, wo, groups, taps)
 
     # Base sampling positions per output pixel and tap (before offsets).
     ys = jnp.arange(ho, dtype=compute_dtype)[:, None] * stride - padding
@@ -92,8 +96,9 @@ def deform_conv2d(
     out = None
     for k in range(taps):
         ky, kx = divmod(k, kw)
-        py = (ys + ky * dilation)[None] + off_b[..., k, 0]  # (N*G, Ho, Wo)
-        px = (xs + kx * dilation)[None] + off_b[..., k, 1]
+        # (N*G, Ho, Wo); the per-tap upcast is exact (see above)
+        py = (ys + ky * dilation)[None] + off_b[..., k, 0].astype(compute_dtype)
+        px = (xs + kx * dilation)[None] + off_b[..., k, 1].astype(compute_dtype)
         s = sample_pixel_coords(
             xg, px, py, mode="bilinear", padding_mode="zeros",
             # gp=2 (160 B rows) measured 8% faster than the heuristic's
