@@ -29,11 +29,19 @@ def main():
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument(
+        "--align-chunks", type=int, default=0,
+        help="chunked parallel-warping alignment (use 30 with --size 256 "
+        "to trace the single-pass full-scale program, perf pass V)",
+    )
     args = ap.parse_args()
 
     enable_compilation_cache()
     t, s = args.frames, args.size
-    model = VRT(upscale=4, img_size=(t, 256, 256), dtype=jnp.bfloat16)
+    model = VRT(
+        upscale=4, img_size=(t, 256, 256), align_chunks=args.align_chunks,
+        dtype=jnp.bfloat16,
+    )
     rng = np.random.default_rng(0)
     lr_full = jnp.asarray(rng.random((1, t, 256, 256, 3)), jnp.float32)
 
