@@ -47,6 +47,27 @@ def run_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def vrt_run_dir(tmp_path_factory):
+    """A TinyVRT run directory (for the VRT-only align_chunks knob)."""
+    from vsrlab_tpu.models import TinyVRT
+
+    d = tmp_path_factory.mktemp("vrt_run")
+    kw = dict(
+        upscale=4, window_size=[2, 4, 4], depths=[2] * 7,
+        embed_dims=[8] * 7, num_heads=[2] * 7, deformable_groups=2,
+        drop_path_rate=0.0,
+    )
+    model = TinyVRT(**kw)
+    lr = jnp.zeros((1, 2, 16, 16, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), lr, optax.adam(1e-4))
+    cfg = {"train": {"model": {"_target_": "TinyVRT", **kw}, "precision": "fp32"}}
+    mgr = CheckpointManager(str(d))
+    mgr.save(0, jax.device_get(state.params), config=cfg)
+    mgr.close()
+    return str(d)
+
+
+@pytest.fixture(scope="module")
 def test_matrix(tmp_path_factory):
     """<root>/{lr,hr}/fps=F_crf=C/{frames,video}/<video>/ tiny matrix."""
     root = tmp_path_factory.mktemp("matrix")
@@ -136,6 +157,42 @@ class TestHarness:
         assert np.isfinite(row["PSNR"]) and row["PSNR"] > 0
         assert 0 <= row["SSIM"] <= 1
 
+    def test_sweep_align_chunks_matches(self, vrt_run_dir, tmp_path):
+        """align_chunks (the single-pass large-input VRT knob) is a pure
+        memory knob on the harness too: identical sweep metrics.
+
+        Needs its own matrix: TinyVRT's minimum input is 16x16 (the
+        U-shape's /4 downscale + SpyNet's /32-multiple internal resize
+        reject 8x8 — same domain limit as the reference architecture)."""
+        root = tmp_path / "matrix16"
+        ds = SyntheticVSR(num_videos=1, seq=5, height=64, width=64, scale=4)
+        lr_clip, hr_clip = ds[0]
+        for sub, clip in (("lr", lr_clip), ("hr", hr_clip)):
+            crf = 30 if sub == "lr" else 5
+            fdir = root / sub / f"fps=6_crf={crf}" / "frames" / "vid0"
+            fdir.mkdir(parents=True)
+            for i, f in enumerate(clip):
+                u8 = (np.clip(f, 0, 1) * 255).round().astype(np.uint8)
+                cv2.imwrite(str(fdir / f"{i:05d}.png"), u8[..., ::-1])
+
+        kw = dict(
+            window_size=5, fps_list=(6,), crf_list=(30,), save_frames=False
+        )
+        base = run_test_matrix(
+            vrt_run_dir, str(root / "lr"), str(root / "hr"),
+            str(tmp_path / "o1"), **kw,
+        )
+        chunked = run_test_matrix(
+            vrt_run_dir, str(root / "lr"), str(root / "hr"),
+            str(tmp_path / "o2"), align_chunks=4, **kw,
+        )
+        np.testing.assert_allclose(
+            base.iloc[0]["PSNR"], chunked.iloc[0]["PSNR"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            base.iloc[0]["SSIM"], chunked.iloc[0]["SSIM"], rtol=1e-5
+        )
+
 
 class TestUpscaleCLI:
     def test_video_file_roundtrip(self, run_dir, tmp_path, rng):
@@ -161,6 +218,8 @@ class TestUpscaleCLI:
             "--cfg-dir", run_dir, "--input", str(src),
             "--output", str(out_dir), "--window-size", "3",
             "--tile", "12", "--tile-overlap", "4",
+            # no-op on non-VRT models (hasattr guard) — must not crash
+            "--align-chunks", "2",
         ])
         pngs = sorted(out_dir.glob("*.png"))
         assert len(pngs) == 5

@@ -148,14 +148,17 @@ def run_test_matrix(
     mesh=None,
     tile: Optional[int] = None,
     tile_overlap: int = 16,
+    align_chunks: int = 0,
 ) -> "pandas.DataFrame":
     """Full fps×crf evaluation sweep (reference src/test.py:94-155).
 
     ``tile`` switches each window's forward to overlapping spatial tiles
     with mean-blended stitching (the official-VRT ``--tile`` protocol,
     evaluation/tiled.py) — required when the model's single-pass
-    activation footprint exceeds HBM (e.g. full-config VRT beyond
-    ~128 px inputs, docs/tpu_kernel_notes.md).
+    activation footprint exceeds HBM. ``align_chunks`` (VRT family)
+    chunks the parallel-warping alignment instead, which fits much
+    larger windows single-pass at identical numerics and is faster than
+    tiling when it fits (docs/tpu_kernel_notes.md perf pass V).
 
     Directory layout (reference convention): ``<lr_dir>/fps=F_crf=C/frames/<video>/``
     frame folders plus ``.../video/<video>`` encoded files for bitrate stats;
@@ -169,6 +172,8 @@ def run_test_matrix(
         cv2 = None
 
     model, params, _cfg = load_test_model(cfg_dir)
+    if align_chunks and hasattr(model, "align_chunks"):
+        model = model.clone(align_chunks=align_chunks)
     forward = make_forward(model, tile, tile_overlap)
 
     metric_fns = {"PSNR": psnr, "SSIM": ssim}
@@ -261,11 +266,16 @@ def main(argv=None):
         "protocol; 0 = single-pass)",
     )
     ap.add_argument("--tile-overlap", type=int, default=16)
+    ap.add_argument(
+        "--align-chunks", type=int, default=0,
+        help="VRT memory knob: chunked parallel-warping alignment — "
+        "fits large windows single-pass at identical numerics",
+    )
     args = ap.parse_args(argv)
     df = run_test_matrix(
         args.cfg_dir, args.lr_dir, args.hr_dir, args.out_dir,
         args.window_size, tile=args.tile or None,
-        tile_overlap=args.tile_overlap,
+        tile_overlap=args.tile_overlap, align_chunks=args.align_chunks,
     )
     print(df)
 

@@ -15,7 +15,8 @@ Usage::
 
     python -m vsrlab_tpu.evaluation.upscale \
         --cfg-dir <run-dir> --input clip.mp4 --output clip_4x.mp4 \
-        [--window-size 10] [--tile 0] [--tile-overlap 16] [--fps auto]
+        [--window-size 10] [--tile 0] [--tile-overlap 16] [--fps auto] \
+        [--align-chunks 0]
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ def upscale(
     tile_overlap: int = 16,
     fps: float = 0.0,
     codec: str = "mp4v",
+    align_chunks: int = 0,
 ) -> tuple:
     """Upscale one video file or frame folder. Returns (out_shape, seconds)."""
     from vsrlab_tpu.data.video_io import read_video, write_video
@@ -66,6 +68,12 @@ def upscale(
         src_fps = fps or src_fps
 
     model, params, _cfg = load_test_model(cfg_dir)
+    if align_chunks and hasattr(model, "align_chunks"):
+        # memory knob for single-pass large inputs (VRT family only):
+        # chunked parallel-warping alignment, numerically identical
+        # (docs/tpu_kernel_notes.md perf pass V) — lets e.g. full VRT at
+        # 16x256x256 run single-pass (1.9 fps) instead of tiled (1.1)
+        model = model.clone(align_chunks=align_chunks)
     forward = make_forward(model, tile, tile_overlap)
 
     # windows run SEQUENTIALLY (unlike the harness's stacked batch, which
@@ -119,11 +127,18 @@ def main(argv=None):
     ap.add_argument("--tile-overlap", type=int, default=16)
     ap.add_argument("--fps", type=float, default=0.0, help="0 = keep source fps")
     ap.add_argument("--codec", default="mp4v")
+    ap.add_argument(
+        "--align-chunks", type=int, default=0,
+        help="VRT memory knob: chunk the parallel-warping alignment so "
+        "large windows run single-pass instead of tiled (e.g. 30 for "
+        "16-frame 256px windows; numerically identical)",
+    )
     args = ap.parse_args(argv)
 
     shape, dt = upscale(
         args.cfg_dir, args.input, args.output, args.window_size,
         args.tile, args.tile_overlap, args.fps, args.codec,
+        args.align_chunks,
     )
     print(f"wrote {args.output}: {shape} in {dt:.1f}s "
           f"({shape[0] / max(dt, 1e-9):.2f} frames/s)")
