@@ -20,7 +20,6 @@ peak (197 TFLOP/s), with FLOPs from XLA's compiled cost analysis.
 from __future__ import annotations
 
 import json
-import time
 from functools import partial
 
 import jax
@@ -33,16 +32,10 @@ V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, TPU v5e
 
 
 def _best_time(call_and_sync, n_iters=5, repeats=3) -> float:
-    """Median-free best-of-repeats timing; ``call_and_sync(n)`` must issue
-    ``n`` calls and force ONE host readback at the end (axon tunnel:
-    block_until_ready does not reliably sync — CLAUDE.md)."""
-    call_and_sync(1)  # warm
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        call_and_sync(n_iters)
-        best = min(best, (time.perf_counter() - t0) / n_iters)
-    return best
+    """Tunnel-safe best-of-repeats timing (vsrlab_tpu.utils.best_time)."""
+    from vsrlab_tpu.utils import best_time
+
+    return best_time(call_and_sync, n_iters, repeats)
 
 
 def _flops_of(compiled) -> float | None:

@@ -16,7 +16,6 @@ Run: python scripts/profile_gan_step.py
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -29,24 +28,19 @@ from vsrlab_tpu.core.perceptual import PerceptualLoss  # noqa: E402
 from vsrlab_tpu.models import RealBasicVSR, UNetDiscriminator  # noqa: E402
 from vsrlab_tpu.train.gan import make_gan_train_step  # noqa: E402
 from vsrlab_tpu.train.state import create_train_state  # noqa: E402
-from vsrlab_tpu.utils import enable_compilation_cache  # noqa: E402
+from vsrlab_tpu.utils import best_time, enable_compilation_cache  # noqa: E402
 
 B, T, H, W, S = 4, 6, 64, 64, 4
 
 
 def timed(step, g, d, batch, iters=5):
-    g2, d2, m = step(g, d, batch)
-    float(m["Loss"])
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        gi, di = g, d
-        mm = None
-        for _ in range(iters):
+    def call_and_sync(n):
+        gi, di, mm = g, d, None
+        for _ in range(n):
             gi, di, mm = step(gi, di, batch)
         float(mm["Loss"])
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+
+    return best_time(call_and_sync, iters)
 
 
 def main():

@@ -26,16 +26,15 @@ from vsrlab_tpu.utils import enable_compilation_cache  # noqa: E402
 
 
 def timed(fn, *args, iters=3):
-    out = fn(*args)
-    float(jnp.sum(jax.tree.leaves(out)[0]))
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(iters):
+    from vsrlab_tpu.utils import best_time
+
+    def call_and_sync(n):
+        out = None
+        for _ in range(n):
             out = fn(*args)
         float(jnp.sum(jax.tree.leaves(out)[0]))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+
+    return best_time(call_and_sync, iters, repeats=2)
 
 
 def main():

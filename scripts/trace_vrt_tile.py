@@ -1,11 +1,12 @@
-"""Capture a profiler trace of ONE full-VRT 16x128x128 tile forward.
+"""Capture a profiler trace of a full-VRT forward (tile or single-pass).
 
-The tiled full-scale path (evaluation/tiled.py) is the only way the
-paper-config model runs on one chip; this script reuses its cached
-program and records a perfetto trace so the 6.1 s/tile cost can be
-attributed per-op without re-jitting components.
+Default: one 16x128x128 tile of the tiled path (evaluation/tiled.py).
+With ``--size 256 --align-chunks 30`` it traces the single-pass
+full-scale program instead (chunked parallel-warping alignment — the
+production path since perf pass V, docs/tpu_kernel_notes.md), so the
+per-op cost attribution can be re-done as the program evolves.
 
-Run: python scripts/trace_vrt_tile.py [--trace]
+Run: python scripts/trace_vrt_tile.py [--trace] [--size S] [--align-chunks N]
 """
 
 from __future__ import annotations

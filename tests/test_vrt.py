@@ -212,12 +212,15 @@ class TestTinyVRT:
         )
         assert flow_norm == 0.0
 
-    def test_align_chunks_match_batched(self, rng, model_and_vars):
+    @pytest.mark.parametrize("chunks", [3, 4])
+    def test_align_chunks_match_batched(self, rng, model_and_vars, chunks):
         """align_chunks (scan-chunked parallel warping — the lever that
         fits single-pass full-scale VRT in HBM) must be a pure memory
-        knob: same param tree, same outputs as the fully batched path."""
+        knob: same param tree, same outputs as the fully batched path.
+        chunks=3 divides the 6-pair batch exactly; chunks=4 exercises
+        the zero-padded non-divisor path."""
         model, variables = model_and_vars
-        cmodel = model.clone(align_chunks=3)
+        cmodel = model.clone(align_chunks=chunks)
         x = jnp.asarray(rng.random((1, 4, 32, 32, 3)), jnp.float32)
         cvars = jax.jit(cmodel.init)(jax.random.PRNGKey(0), x)
         assert jax.tree_util.tree_structure(cvars) == jax.tree_util.tree_structure(

@@ -161,10 +161,14 @@ class Stage(nn.Module):
             flows = jnp.concatenate([flat(flow_backward), flat(flow_forward)], 0)
             currents = jnp.concatenate([flat(x[:, :-1]), flat(x[:, 1:])], 0)
             n = frames.shape[0]
-            # largest divisor of n not exceeding the requested chunk count
-            chunks = max(
-                (k for k in range(1, min(self.align_chunks, n) + 1) if n % k == 0)
-            )
+            # honour the requested chunk count for ANY frame-pair count by
+            # zero-padding to a chunk multiple (a divisor-only fallback
+            # could silently collapse to near-batched memory — e.g. n=62
+            # only divides by 2); padded samples are discarded below and
+            # cost at most one extra scan step of work
+            chunks = min(self.align_chunks, n)
+            size = -(-n // chunks)
+            pad = chunks * size - n
 
             def body(mdl, carry, xs):
                 return carry, warp_align(mdl, *xs)
@@ -178,12 +182,17 @@ class Stage(nn.Module):
             )
 
             def chunked(v):
-                return v.reshape((chunks, n // chunks) + v.shape[1:])
+                if pad:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], 0
+                    )
+                return v.reshape((chunks, size) + v.shape[1:])
 
             _, aligned = scan(
                 align, None, (chunked(frames), chunked(flows), chunked(currents))
             )
-            aligned = aligned.reshape(2, b, t - 1, h, w, c)
+            aligned = aligned.reshape((chunks * size,) + aligned.shape[2:])
+            aligned = aligned[: n].reshape(2, b, t - 1, h, w, c)
             aligned_b, aligned_f = aligned[0], aligned[1]
         else:
             # backward: frame i+1 aligned towards i, for i = 0..t-2

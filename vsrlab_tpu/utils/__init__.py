@@ -2,7 +2,7 @@
 compilation cache."""
 
 from vsrlab_tpu.utils.seed import seed_index_everything, seed_everything
-from vsrlab_tpu.utils.profiler import trace, Timer, annotate
+from vsrlab_tpu.utils.profiler import trace, Timer, annotate, best_time
 
 
 def enable_compilation_cache(directory: str | None = None) -> None:
@@ -30,5 +30,6 @@ __all__ = [
     "trace",
     "Timer",
     "annotate",
+    "best_time",
     "enable_compilation_cache",
 ]

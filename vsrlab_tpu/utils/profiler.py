@@ -7,6 +7,8 @@ SURVEY.md §5 "Tracing/profiling: minimal").
   to framework phases inside a trace.
 * :class:`Timer` — wall-clock phase timer with a summary dict (the
   reference's epoch timers, src/train.py:87,113-115, generalised).
+* :func:`best_time` — tunnel-safe best-of-repeats device timing
+  (single forced host readback per measured batch).
 """
 
 from __future__ import annotations
@@ -56,3 +58,21 @@ class Timer:
                 "mean_s": self.totals[k] / max(self.counts[k], 1)}
             for k in self.totals
         }
+
+
+def best_time(call_and_sync, n_iters: int = 5, repeats: int = 3) -> float:
+    """Best-of-repeats per-call seconds for device microbenchmarks.
+
+    ``call_and_sync(n)`` must issue ``n`` calls and force ONE host
+    readback at the end (e.g. ``float(scalar)``) — on this box's axon
+    stdio tunnel, ``block_until_ready`` does not reliably sync, so the
+    readback IS the fence (CLAUDE.md). One warm call precedes timing.
+    Shared by ``bench.py`` and the ``scripts/profile_*`` tools.
+    """
+    call_and_sync(1)  # warm (compile served from cache or built here)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        call_and_sync(n_iters)
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+    return best
