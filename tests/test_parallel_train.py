@@ -211,6 +211,26 @@ class TestSequenceParallelTraining:
         }
         self._run_pair(model, batch)
 
+    @pytest.mark.slow
+    def test_sp_step_matches_single_device_vrt_align_chunks(self, rng):
+        """SP × align_chunks composition: GSPMD must shard the chunked
+        alignment scan (whose frame-pair batch is assembled from
+        time-sharded slices) without changing training numerics — the
+        combination a long-clip, large-window production run would use."""
+        from vsrlab_tpu.models import TinyVRT
+
+        model = TinyVRT(
+            upscale=4, window_size=(2, 4, 4), depths=(2,) * 7,
+            embed_dims=(8,) * 7, num_heads=(2,) * 7, deformable_groups=2,
+            drop_path_rate=0.0, align_chunks=4,
+        )
+        rngs = np.random.default_rng(2)
+        batch = {
+            "lr": jnp.asarray(rngs.random((2, 4, 16, 16, 3)), jnp.float32),
+            "hr": jnp.asarray(rngs.random((2, 4, 64, 64, 3)), jnp.float32),
+        }
+        self._run_pair(model, batch)
+
 
 class TestTensorParallel:
     def test_head_sharded_vrt_matches_unsharded(self, rng):
