@@ -14,7 +14,7 @@ import optax
 from vsrlab_tpu.core import schedulers
 from vsrlab_tpu.core.config import register
 from vsrlab_tpu.core.loggers import JsonlLogger, WandbLogger, build_logger
-from vsrlab_tpu.data import DatasetVSR, SyntheticVSR, ValDatasetVSR
+from vsrlab_tpu.data import DatasetVSR, SyntheticVSR, ValDatasetVSR, VideoDatasetVSR
 from vsrlab_tpu.models import (
     VRT,
     BasicVSR,
@@ -47,6 +47,7 @@ register("SyntheticFlowDataset", SyntheticFlowDataset)
 register("DatasetVSR", DatasetVSR)
 register("ValDatasetVSR", ValDatasetVSR)
 register("SyntheticVSR", SyntheticVSR)
+register("VideoDatasetVSR", VideoDatasetVSR)
 register("vsrlab.vsr.dataset.DatasetVSR", DatasetVSR)
 register("vsrlab.vsr.dataset.ValDatasetVSR", ValDatasetVSR)
 

@@ -19,11 +19,12 @@ from vsrlab_tpu.data.augmentations import (
     RandomVideoCompression,
     build_pipeline,
 )
-from vsrlab_tpu.data.datasets import DatasetVSR, SyntheticVSR, ValDatasetVSR
+from vsrlab_tpu.data.datasets import DatasetVSR, SyntheticVSR, ValDatasetVSR, VideoDatasetVSR
 from vsrlab_tpu.data.loader import DataLoader
 
 __all__ = [
     "DatasetVSR",
+    "VideoDatasetVSR",
     "ValDatasetVSR",
     "SyntheticVSR",
     "DataLoader",

@@ -50,6 +50,45 @@ def read_video(path) -> Tuple[np.ndarray, str, float, int, int]:
     return np.stack(frames), codec, fps, h, w
 
 
+def video_frame_count(path) -> int:
+    """Frame count from the container header (no decode)."""
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        raise IOError(f"not a video: {path}")
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    return n
+
+
+def read_video_window(path, start: int, count: int) -> np.ndarray:
+    """Decode ``count`` frames starting at frame ``start``.
+
+    Seeks via CAP_PROP_POS_FRAMES so random-window training from video
+    FILES (``VideoDatasetVSR``) decodes only the sampled clip, not the
+    whole video. Returns (count, H, W, 3) float32 RGB in [0, 1].
+    """
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        raise IOError(f"not a video: {path}")
+    if start:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+    frames: List[np.ndarray] = []
+    for _ in range(count):
+        ok, img = cap.read()
+        if not ok:
+            break
+        frames.append(img[..., ::-1].astype(np.float32) / 255.0)
+    cap.release()
+    if len(frames) < count:
+        if not frames:
+            raise IOError(f"no frames at {start}..{start + count} in {path}")
+        # short read at EOF (header frame counts can over-report by a
+        # frame on some containers): reflect-pad the tail
+        while len(frames) < count:
+            frames.append(frames[-1])
+    return np.stack(frames)
+
+
 def write_video(path, frames: np.ndarray, codec: str = "mp4v",
                 fps: float = 24.0, crf: int = 23):
     """Encode (T, H, W, 3) float32 frames to a video file
