@@ -158,3 +158,47 @@ def test_warmup_cosine_schedule_shape():
     assert abs(lrs[99] - 1e-5) < 5e-5
     # second cycle peaks at gamma * max
     assert abs(max(lrs[100:200]) - 5e-4) < 5e-5
+
+
+def test_rgb_to_y_known_values():
+    """BT.601 limited-range luma: white -> 235/255, black -> 16/255
+    (matlab rgb2ycbcr convention, the Vimeo/Vid4 protocol)."""
+    from vsrlab_tpu.core.metrics import rgb_to_y
+
+    white = np.ones((1, 2, 2, 3), np.float32)
+    black = np.zeros((1, 2, 2, 3), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(rgb_to_y(white)), 235.0 / 255.0, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_to_y(black)), 16.0 / 255.0, rtol=1e-5
+    )
+
+
+def test_psnr_y_matches_manual(rng):
+    """PSNR_Y == PSNR computed on a manually converted luma channel."""
+    from vsrlab_tpu.core.metrics import psnr_y
+
+    a = rng.uniform(size=(2, 8, 8, 3)).astype(np.float32)
+    b = rng.uniform(size=(2, 8, 8, 3)).astype(np.float32)
+
+    def y(img):
+        return (
+            65.481 * img[..., 0] + 128.553 * img[..., 1]
+            + 24.966 * img[..., 2] + 16.0
+        ) / 255.0
+
+    manual = np.mean([
+        10 * math.log10(1.0 / np.mean((y(a[i]) - y(b[i])) ** 2))
+        for i in range(2)
+    ])
+    assert abs(float(psnr_y(a, b)) - manual) < 1e-4
+
+
+def test_y_metrics_in_builtin_registry(rng):
+    """Config surface: metrics: [PSNR_Y, SSIM_Y] instantiates."""
+    col = MetricCollection(["PSNR_Y", "SSIM_Y"])
+    a = rng.uniform(size=(1, 2, 16, 16, 3)).astype(np.float32)
+    out = col(a, a)
+    assert set(out) == {"PSNR_Y", "SSIM_Y"}
+    assert abs(float(out["SSIM_Y"]) - 1.0) < 1e-6

@@ -33,6 +33,24 @@ def psnr(sr: jnp.ndarray, hr: jnp.ndarray, value_range: float = 1.0) -> jnp.ndar
     return jnp.mean(out)
 
 
+def rgb_to_y(x: jnp.ndarray) -> jnp.ndarray:
+    """RGB [0,1] → BT.601 limited-range luma channel (matlab ``rgb2ycbcr``
+    convention: Y ∈ [16/255, 235/255]).
+
+    The standard VSR evaluation protocol on Vimeo-90K/Vid4 reports
+    PSNR/SSIM on this Y channel; the reference's piqa metrics are
+    RGB-only, so the Y variants here extend its capability for
+    paper-protocol comparisons. Keeps a trailing singleton channel.
+    """
+    r, g, b = x[..., 0:1], x[..., 1:2], x[..., 2:3]
+    return (65.481 * r + 128.553 * g + 24.966 * b + 16.0) / 255.0
+
+
+def psnr_y(sr: jnp.ndarray, hr: jnp.ndarray) -> jnp.ndarray:
+    """PSNR on the BT.601 luma channel (Vimeo/Vid4 protocol)."""
+    return psnr(rgb_to_y(_flatten_frames(sr)), rgb_to_y(_flatten_frames(hr)))
+
+
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     coords = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
     g = np.exp(-(coords**2) / (2.0 * sigma**2))
@@ -90,6 +108,11 @@ def ssim(
     return jnp.mean(num / den)
 
 
+def ssim_y(sr: jnp.ndarray, hr: jnp.ndarray) -> jnp.ndarray:
+    """SSIM on the BT.601 luma channel (Vimeo/Vid4 protocol)."""
+    return ssim(rgb_to_y(_flatten_frames(sr)), rgb_to_y(_flatten_frames(hr)))
+
+
 class MetricCollection:
     """Named bundle of metric functions (reference src/core/metrics.py:5-41).
 
@@ -131,7 +154,9 @@ class MetricCollection:
         return MetricCollection(self.metrics, prefix or self.prefix, postfix or self.postfix)
 
 
-MetricCollection.BUILTIN = {"PSNR": psnr, "SSIM": ssim}
+MetricCollection.BUILTIN = {
+    "PSNR": psnr, "SSIM": ssim, "PSNR_Y": psnr_y, "SSIM_Y": ssim_y,
+}
 
 
 def running_metrics(

@@ -31,15 +31,24 @@ from vsrlab_tpu.core.metrics import psnr, ssim
 from vsrlab_tpu.data.datasets import load_frame
 
 
-def load_test_model(cfg_dir: str):
+def load_test_model(cfg_dir: str, use_ema: bool = True):
     """Rebuild the model from a run directory's config snapshot and load
-    the latest checkpoint. Returns (model, params, config)."""
+    the latest checkpoint. Returns (model, params, config).
+
+    Runs trained with ``train.ema_decay`` keep an EMA shadow under
+    ``<run>/ema``; by default that (better-generalising) average is what
+    serves — pass ``use_ema=False`` for the raw weights."""
     import vsrlab_tpu.components  # noqa: F401
     from vsrlab_tpu.train.builders import build_model
 
     cfg = Config.from_dict(load_config_snapshot(cfg_dir))
     model = build_model(cfg.train.model, cfg.train.get("precision", "fp32"))
-    mgr = CheckpointManager(cfg_dir)
+    ema_dir = Path(cfg_dir) / "ema"
+    src = cfg_dir
+    if use_ema and ema_dir.is_dir():
+        src = str(ema_dir)
+        print(f"serving EMA weights from {src}")
+    mgr = CheckpointManager(src)
     _, payload = mgr.restore()
     mgr.close()
     return model, payload["params"], cfg
@@ -93,6 +102,40 @@ def make_forward(model, tile: Optional[int] = None, tile_overlap: int = 16):
         )
 
     return forward
+
+
+def make_stream_forward(model):
+    """Build ``(first, rest)`` jitted callables for stateful windowed
+    inference (BasicVSR family only — see ``BasicVSR.__call__``):
+    ``first(params, window) -> (sr, state)`` and
+    ``rest(params, window, state) -> (sr, state)``. Carrying the state
+    across sequential windows makes the forward-direction recurrence
+    bitwise identical to a full-clip run, so long videos keep temporal
+    continuity the reference's window chunking discards
+    (src/test.py:124-135)."""
+    opts = (
+        {
+            "xla_tpu_enable_experimental_fusion_cost_model": "true",
+            "xla_tpu_scoped_vmem_limit_kib": "32768",
+        }
+        if jax.default_backend() == "tpu"
+        else None
+    )
+
+    def _first(p, x):
+        out = model.apply({"params": p}, x, return_state=True)
+        return out[0], out[-1]
+
+    def _rest(p, x, state):
+        out = model.apply(
+            {"params": p}, x, stream_state=state, return_state=True
+        )
+        return out[0], out[-1]
+
+    return (
+        jax.jit(_first, compiler_options=opts),
+        jax.jit(_rest, compiler_options=opts),
+    )
 
 
 def windowed_inference(

@@ -16,7 +16,7 @@ Usage::
     python -m vsrlab_tpu.evaluation.upscale \
         --cfg-dir <run-dir> --input clip.mp4 --output clip_4x.mp4 \
         [--window-size 10] [--tile 0] [--tile-overlap 16] [--fps auto] \
-        [--align-chunks 0]
+        [--align-chunks 0] [--stream]
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ def upscale(
     fps: float = 0.0,
     codec: str = "mp4v",
     align_chunks: int = 0,
+    stream: bool = False,
 ) -> tuple:
     """Upscale one video file or frame folder. Returns (out_shape, seconds)."""
     from vsrlab_tpu.data.video_io import read_video, write_video
@@ -47,6 +48,7 @@ def upscale(
         get_video,
         load_test_model,
         make_forward,
+        make_stream_forward,
     )
 
     out = Path(output_path)
@@ -74,12 +76,22 @@ def upscale(
         # (docs/tpu_kernel_notes.md perf pass V) — lets e.g. full VRT at
         # 16x256x256 run single-pass (1.9 fps) instead of tiled (1.1)
         model = model.clone(align_chunks=align_chunks)
-    forward = make_forward(model, tile, tile_overlap)
+    if stream and not hasattr(model, "fuse_directions"):
+        raise ValueError(
+            "--stream needs a recurrent model (BasicVSR family); "
+            f"{type(model).__name__} has no propagation state to carry"
+        )
+    if stream and tile:
+        raise ValueError("--stream and --tile are mutually exclusive")
+    forward = None if stream else make_forward(model, tile, tile_overlap)
 
     # windows run SEQUENTIALLY (unlike the harness's stacked batch, which
     # shards over a mesh time axis): device memory stays at one window
     # regardless of video length, and each window's SR streams back to
-    # the host as the next one computes
+    # the host as the next one computes. With ``stream`` the forward
+    # recurrence state is carried between windows (exactly equal to a
+    # full-clip forward pass), so only the backward direction restarts
+    # at window boundaries instead of both.
     _, t, h, w, c = clip.shape
     pad = (-t) % window_size
     clip_np = np.asarray(clip)
@@ -89,10 +101,21 @@ def upscale(
         )
     t0 = time.time()
     outs = []
-    for i in range(0, clip_np.shape[1], window_size):
-        win = jax.numpy.asarray(clip_np[:, i : i + window_size])
-        sr_win = forward(params, win)
-        outs.append(np.asarray(jax.numpy.clip(sr_win[0], 0.0, 1.0)))
+    if stream:
+        first, rest = make_stream_forward(model)
+        state = None
+        for i in range(0, clip_np.shape[1], window_size):
+            win = jax.numpy.asarray(clip_np[:, i : i + window_size])
+            sr_win, state = (
+                first(params, win) if state is None
+                else rest(params, win, state)
+            )
+            outs.append(np.asarray(jax.numpy.clip(sr_win[0], 0.0, 1.0)))
+    else:
+        for i in range(0, clip_np.shape[1], window_size):
+            win = jax.numpy.asarray(clip_np[:, i : i + window_size])
+            sr_win = forward(params, win)
+            outs.append(np.asarray(jax.numpy.clip(sr_win[0], 0.0, 1.0)))
     sr = np.concatenate(outs, axis=0)[:t]
     dt = time.time() - t0
 
@@ -133,12 +156,18 @@ def main(argv=None):
         "large windows run single-pass instead of tiled (e.g. 30 for "
         "16-frame 256px windows; numerically identical)",
     )
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="carry the forward recurrence state across windows "
+        "(BasicVSR family): temporal continuity of a full-clip run at "
+        "one-window memory, instead of resetting per window",
+    )
     args = ap.parse_args(argv)
 
     shape, dt = upscale(
         args.cfg_dir, args.input, args.output, args.window_size,
         args.tile, args.tile_overlap, args.fps, args.codec,
-        args.align_chunks,
+        args.align_chunks, args.stream,
     )
     print(f"wrote {args.output}: {shape} in {dt:.1f}s "
           f"({shape[0] / max(dt, 1e-9):.2f} frames/s)")

@@ -112,23 +112,52 @@ class BasicVSR(nn.Module):
         self.conv_hr = Conv2d(64, 3, 1, 1, dtype=self.dtype)
         self.conv_last = Conv2d(3, 3, 1, 1, dtype=self.dtype)
 
-    def compute_flow(self, lrs):
+    def compute_flow(self, lrs, prev=None):
         """Both flow directions in one batched SpyNet call
         (reference basicvsr.py:30-37). The image pyramid is shared across
         pairs/directions (``SpyNet.adjacent_pairs``) — each unique frame
-        is resized/normalised/pooled once instead of ~3.6×."""
+        is resized/normalised/pooled once instead of ~3.6×.
+
+        With ``prev`` (streaming: the previous window's last frame,
+        ``(B, H, W, 3)``) the pair batch is extended by one leading frame
+        so the forward half gains the real ``prev → frame0`` flow as its
+        first entry; ``flows_forward`` then has ``t`` entries instead of
+        ``t - 1``.
+        """
         b, t, h, w, c = lrs.shape
-        flows = self.spynet.adjacent_pairs(lrs.reshape(-1, h, w, c), t)
+        frames = lrs
+        if prev is not None:
+            frames = jnp.concatenate([prev[:, None], lrs], axis=1)
+            t = t + 1
+        flows = self.spynet.adjacent_pairs(frames.reshape(-1, h, w, c), t)
         if not self.train_flow:
             flows = jax.lax.stop_gradient(flows)
         fb, ff = jnp.split(flows, 2, axis=0)
         flows_backward = fb.reshape(b, t - 1, h, w, 2)
         flows_forward = ff.reshape(b, t - 1, h, w, 2)
+        if prev is not None:
+            # drop the (prev ← frame0) backward flow — the backward
+            # recurrence stays window-local (it needs FUTURE frames)
+            flows_backward = flows_backward[:, 1:]
         return flows_forward, flows_backward
 
-    def __call__(self, lrs):
+    def __call__(self, lrs, stream_state=None, return_state=False):
+        """Super-resolve a clip.
+
+        ``stream_state`` / ``return_state`` implement exact streaming of
+        the FORWARD recurrence across sequential windows (long-video
+        serving): the state is ``(last_input_frame, forward_carry)``.
+        Seeding a window with the previous window's state makes the
+        forward-direction hidden states bitwise identical to a full-clip
+        run (the first step warps the carried state by the real
+        ``prev → frame0`` flow instead of the zero-flow boundary trick);
+        the backward direction restarts per window, as any causal
+        streamer must. The reference resets BOTH directions every window
+        (src/test.py:124-135).
+        """
         b, t, h, w, c = lrs.shape
-        flows_forward, flows_backward = self.compute_flow(lrs)
+        prev = None if stream_state is None else stream_state[0]
+        flows_forward, flows_backward = self.compute_flow(lrs, prev)
 
         zero_flow = jnp.zeros((b, 1, h, w, 2), flows_forward.dtype)
         # backward scan visits frames t-1..0; step i warps with
@@ -137,10 +166,17 @@ class BasicVSR(nn.Module):
         bwd_flows = jnp.concatenate(
             [zero_flow, jnp.flip(flows_backward, axis=1)], axis=1
         )
-        fwd_flows = jnp.concatenate([zero_flow, flows_forward], axis=1)
+        if stream_state is None:
+            fwd_flows = jnp.concatenate([zero_flow, flows_forward], axis=1)
+        else:
+            fwd_flows = flows_forward  # t entries; [:, 0] is prev -> frame0
 
         feat0 = jnp.zeros(
             (b, h, w, self.mid_channels), self.dtype or lrs.dtype
+        )
+        fwd_feat0 = (
+            feat0 if stream_state is None
+            else stream_state[1].astype(feat0.dtype)
         )
         lrs_rev = jnp.flip(lrs, axis=1)
 
@@ -161,8 +197,8 @@ class BasicVSR(nn.Module):
                 out_axes=1,
                 unroll=self.time_unroll or (t if t <= 8 else 1),
             )
-            _, (outputs_backward, outputs_forward) = scan(
-                self, (feat0, feat0), (lrs_rev, bwd_flows, lrs, fwd_flows)
+            (_, ff_last), (outputs_backward, outputs_forward) = scan(
+                self, (feat0, fwd_feat0), (lrs_rev, bwd_flows, lrs, fwd_flows)
             )
             outputs_backward = jnp.flip(outputs_backward, axis=1)
         else:
@@ -177,7 +213,9 @@ class BasicVSR(nn.Module):
                 self.backward_cell, feat0, (lrs_rev, bwd_flows)
             )
             outputs_backward = jnp.flip(outputs_backward, axis=1)
-            _, outputs_forward = scan(self.forward_cell, feat0, (lrs, fwd_flows))
+            ff_last, outputs_forward = scan(
+                self.forward_cell, fwd_feat0, (lrs, fwd_flows)
+            )
 
         # fusion + upsampling, batched over all frames
         out = jnp.concatenate([outputs_backward, outputs_forward], axis=-1)
@@ -194,4 +232,7 @@ class BasicVSR(nn.Module):
             align_corners=False,
         )
         out = out + base
-        return out.reshape(b, t, h * self.upscale, w * self.upscale, 3)
+        out = out.reshape(b, t, h * self.upscale, w * self.upscale, 3)
+        if return_state:
+            return out, (lrs[:, -1], ff_last)
+        return out

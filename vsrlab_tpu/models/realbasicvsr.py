@@ -35,7 +35,13 @@ class RealBasicVSR(nn.Module):
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, lr: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, lr: jnp.ndarray, stream_state=None, return_state=False
+    ) -> Tuple[jnp.ndarray, ...]:
+        """Returns ``(sr, lq)``; with ``return_state`` also the streaming
+        state (see :meth:`BasicVSR.__call__` — the state's frame is the
+        CLEANED previous frame, since flows are computed on cleaned
+        input)."""
         b, t, h, w, c = lr.shape
         lq = IterativeRefinement(
             self.mid_channels,
@@ -44,7 +50,7 @@ class RealBasicVSR(nn.Module):
             dtype=self.dtype,
             name="cleaner",
         )(lr.reshape(b * t, h, w, c)).reshape(b, t, h, w, c)
-        sr = BasicVSR(
+        out = BasicVSR(
             self.mid_channels,
             self.res_blocks,
             self.upscale,
@@ -54,5 +60,8 @@ class RealBasicVSR(nn.Module):
             block_unroll=self.block_unroll,
             dtype=self.dtype,
             name="basicvsr",
-        )(lq)
-        return sr, lq
+        )(lq, stream_state=stream_state, return_state=return_state)
+        if return_state:
+            sr, state = out
+            return sr, lq, state
+        return out, lq

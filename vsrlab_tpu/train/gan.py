@@ -37,9 +37,10 @@ from vsrlab_tpu.train.state import TrainState, create_train_state
 from vsrlab_tpu.train.step import (
     _resize_clip_to,
     default_metrics,
+    ema_update,
     make_eval_step,
 )
-from vsrlab_tpu.train.train import _accumulate, _mean_metrics
+from vsrlab_tpu.train.train import _accumulate, _mean_metrics, _restore_ema
 
 
 def make_gan_train_step(
@@ -49,6 +50,7 @@ def make_gan_train_step(
     adv_weight: float = 2e-5,
     update_generator: bool = True,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ):
     """One jitted step updating generator (optionally) and discriminator."""
 
@@ -95,7 +97,11 @@ def make_gan_train_step(
             g_state.params, d_vars, lr, hr
         )
         if update_generator:
-            g_state = g_state.apply_gradients(grads=g_grads)
+            # EMA shadow follows ONLY real generator updates (frozen
+            # epochs leave it untouched)
+            g_state = ema_update(
+                g_state.apply_gradients(grads=g_grads), ema_decay
+            )
 
         (loss_d, new_stats), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
@@ -154,6 +160,10 @@ def restore_generator(g_state, tcfg):
             )
         # step-keyed checkpoints (supervised save_every_steps) carry the
         # epoch in a meta sidecar; GAN resume is epoch-granular
+        if g_state.ema_params is not None:
+            # EMA-enabled fine-tune: restore the source run's shadow when
+            # it has one, else seed from the restored weights
+            g_state = _restore_ema(g_state, tcfg.restore, key)
         meta = src.load_meta(key)
         epoch = int(meta["epoch"]) if meta else key
         start_epoch = 0 if tcfg.get("finetune") else epoch + 1
@@ -194,8 +204,10 @@ def run(cfg: Config) -> Dict[str, float]:
 
     lr0, hr0 = train_dl.dataset[0]
     rng = jax.random.PRNGKey(int(cfg.get("seed_index") or 0))
+    ema_decay = float(tcfg.get("ema_decay", 0.0))
     g_state = create_train_state(
-        model, rng, jnp.zeros((1,) + lr0.shape, jnp.float32), tx_g
+        model, rng, jnp.zeros((1,) + lr0.shape, jnp.float32), tx_g,
+        ema_decay=ema_decay,
     )
     d_state = create_train_state(
         discriminator,
@@ -216,10 +228,16 @@ def run(cfg: Config) -> Dict[str, float]:
 
     logger = build_logger(tcfg.get("logger")) if process_index() == 0 else None
     ckpt = CheckpointManager(tcfg.get("checkpoint_dir", "./checkpoints"))
+    ema_ckpt = (
+        CheckpointManager(str(ckpt.directory / "ema")) if ema_decay else None
+    )
     eval_step = make_eval_step(model)
 
     steps = {
-        up: make_gan_train_step(model, discriminator, perceptual, adv_weight, up)
+        up: make_gan_train_step(
+            model, discriminator, perceptual, adv_weight, up,
+            ema_decay=ema_decay,
+        )
         for up in (True, False)
     }
 
@@ -248,8 +266,12 @@ def run(cfg: Config) -> Dict[str, float]:
 
             if val_dl is not None:
                 vsums, vn = {}, 0
+                eval_params = (
+                    g_state.ema_params if g_state.ema_params is not None
+                    else g_state.params
+                )
                 for batch in val_dl:
-                    vmetrics, _ = eval_step(g_state.params, batch)
+                    vmetrics, _ = eval_step(eval_params, batch)
                     _accumulate(vsums, vmetrics)
                     vn += 1
                 if vn:
@@ -270,10 +292,14 @@ def run(cfg: Config) -> Dict[str, float]:
                 extra=None,
                 config=cfg.to_dict(),
             )
+            if ema_ckpt is not None:
+                ema_ckpt.save(epoch, jax.device_get(g_state.ema_params))
 
     if logger:
         logger.close()
     ckpt.close()
+    if ema_ckpt is not None:
+        ema_ckpt.close()
     return final_val
 
 

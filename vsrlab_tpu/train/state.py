@@ -14,15 +14,20 @@ from typing import Any
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
 
 class TrainState(train_state.TrainState):
     """TrainState with a mutable-collections slot (spectral-norm power
-    iteration state lives in ``batch_stats``)."""
+    iteration state lives in ``batch_stats``) and an optional
+    exponential-moving-average parameter shadow (``ema_params`` — standard
+    VSR training practice; capability beyond the reference, which
+    evaluates raw weights only)."""
 
     batch_stats: Any = None
+    ema_params: Any = None
 
 
 def create_train_state(
@@ -31,15 +36,25 @@ def create_train_state(
     example_input,
     tx: optax.GradientTransformation,
     init_jit: bool = True,
+    ema_decay: float = 0.0,
 ) -> TrainState:
     """Initialise model variables (under jit — per-op dispatch through the
-    device tunnel is pathologically slow otherwise) and wrap in a state."""
+    device tunnel is pathologically slow otherwise) and wrap in a state.
+
+    ``ema_decay > 0`` seeds ``ema_params`` with a copy of the initial
+    params; the train step (built with the same decay) then maintains
+    ``ema ← decay·ema + (1-decay)·params`` after every update.
+    """
     init = jax.jit(model.init) if init_jit else model.init
     args = example_input if isinstance(example_input, tuple) else (example_input,)
     variables = init(rng, *args)
+    params = variables["params"]
     return TrainState.create(
         apply_fn=model.apply,
-        params=variables["params"],
+        params=params,
         batch_stats=variables.get("batch_stats"),
+        # a REAL copy — aliasing the params buffers would break the
+        # donated train step (the same buffer can't be donated twice)
+        ema_params=jax.tree.map(jnp.copy, params) if ema_decay else None,
         tx=tx,
     )

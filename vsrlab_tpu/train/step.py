@@ -63,12 +63,26 @@ def supervised_loss(
     return loss, {"sr": sr}
 
 
+def ema_update(state: TrainState, decay: float) -> TrainState:
+    """``ema ← decay·ema + (1-decay)·params`` (no-op when disabled)."""
+    if not decay or state.ema_params is None:
+        return state
+    return state.replace(
+        ema_params=jax.tree.map(
+            lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+            state.ema_params,
+            state.params,
+        )
+    )
+
+
 def make_supervised_train_step(
     model,
     loss_fn: Callable = charbonnier_loss,
     num_grad_accum: int = 1,
     compute_metrics: bool = True,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ):
     """Build the jitted supervised train step.
 
@@ -76,7 +90,8 @@ def make_supervised_train_step(
     ``lr``/``hr`` clips of shape ``(B, T, H, W, 3)``; when
     ``num_grad_accum > 1``, ``B`` must be divisible by it and microbatches
     are scanned sequentially (grad-accum semantics of reference
-    update_weights, src/core/utils.py:270-281).
+    update_weights, src/core/utils.py:270-281). ``ema_decay > 0``
+    maintains ``state.ema_params`` (create the state with the same decay).
     """
 
     def loss_for(params, lr, hr):
@@ -91,7 +106,9 @@ def make_supervised_train_step(
         if num_grad_accum == 1:
             (loss, aux), grads = grad_fn(state.params, lr, hr)
             sr = aux["sr"]
-            new_state = state.apply_gradients(grads=grads)
+            new_state = ema_update(
+                state.apply_gradients(grads=grads), ema_decay
+            )
             metrics = {"Loss": loss}
             if compute_metrics:
                 metrics.update(default_metrics(sr, hr))
@@ -126,7 +143,7 @@ def make_supervised_train_step(
             accum, (g0, jnp.zeros((), jnp.float32), m0), (lr_m, hr_m)
         )
         grads = jax.tree.map(lambda g: g / num_grad_accum, grads)
-        new_state = state.apply_gradients(grads=grads)
+        new_state = ema_update(state.apply_gradients(grads=grads), ema_decay)
         metrics = {"Loss": loss / num_grad_accum}
         if compute_metrics:
             metrics.update(

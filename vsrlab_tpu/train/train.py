@@ -48,6 +48,30 @@ def _accumulate(sums: Dict[str, float], metrics) -> Dict[str, float]:
     return sums
 
 
+def _restore_ema(state, restore_dir: str, key: int):
+    """Load the EMA shadow saved by an EMA-enabled run (sidecar manager
+    under ``<run>/ema``); seed from the restored params when the source
+    run had no EMA (e.g. finetuning a non-EMA checkpoint)."""
+    from pathlib import Path
+
+    ema_dir = Path(restore_dir) / "ema"
+    if ema_dir.is_dir():
+        try:
+            mgr = CheckpointManager(str(ema_dir))
+            _, payload = mgr.restore(
+                epoch=key, template={"params": state.ema_params}
+            )
+            mgr.close()
+            return state.replace(ema_params=payload["params"])
+        except FileNotFoundError:
+            pass
+    # REAL copies: aliasing params would double-donate buffers in the
+    # donated train step
+    return state.replace(
+        ema_params=jax.tree.map(jnp.copy, state.params)
+    )
+
+
 def restore_state(
     state,
     tcfg,
@@ -77,6 +101,8 @@ def restore_state(
             template={"params": state.params, "opt_state": state.opt_state},
         )
         state = state.replace(params=payload["params"])
+        if state.ema_params is not None:
+            state = _restore_ema(state, tcfg.restore, key)
         meta = src.load_meta(key)
         if meta is not None:  # step-keyed checkpoint
             epoch = int(meta["epoch"])
@@ -144,7 +170,10 @@ def run(cfg: Config) -> Dict[str, float]:
     # example input from the dataset's first sample (shapes only)
     lr0, _ = train_dl.dataset[0]
     example = jnp.zeros((1,) + lr0.shape, jnp.float32)
-    state = create_train_state(model, rng, example, tx)
+    # EMA of params (beyond reference; standard VSR practice): decay 0
+    # disables, typical values 0.999-0.9999
+    ema_decay = float(tcfg.get("ema_decay", 0.0))
+    state = create_train_state(model, rng, example, tx, ema_decay=ema_decay)
 
     # restore / finetune (reference src/core/utils.py:106-135)
     ckpt_dir = tcfg.get("checkpoint_dir", "./checkpoints")
@@ -157,26 +186,38 @@ def run(cfg: Config) -> Dict[str, float]:
 
     logger = build_logger(tcfg.get("logger")) if process_index() == 0 else None
 
-    train_step = make_supervised_train_step(model, num_grad_accum=num_grad_acc)
+    train_step = make_supervised_train_step(
+        model, num_grad_accum=num_grad_acc, ema_decay=ema_decay
+    )
     eval_step = make_eval_step(model)
+    ema_ckpt = (
+        CheckpointManager(
+            str(ckpt.directory / "ema"),
+            max_to_keep=int(tcfg.get("checkpoint_max_to_keep", 3)),
+        )
+        if ema_decay
+        else None
+    )
 
     # exception-safe teardown (reference src/train.py:124-130: cleanup +
     # wandb.finish on any failure, then re-raise)
     try:
         final_val = _train_loop(
             cfg, mesh, state, train_dl, val_dl, train_step, eval_step,
-            logger, ckpt, start_epoch, start_batch,
+            logger, ckpt, start_epoch, start_batch, ema_ckpt=ema_ckpt,
         )
     finally:
         if logger:
             logger.close()
         ckpt.close()
+        if ema_ckpt is not None:
+            ema_ckpt.close()
     return final_val
 
 
 def _train_loop(
     cfg, mesh, state, train_dl, val_dl, train_step, eval_step, logger, ckpt,
-    start_epoch, start_batch=0,
+    start_epoch, start_batch=0, ema_ckpt=None,
 ):
     tcfg = cfg.train
     with mesh:
@@ -222,6 +263,11 @@ def _train_loop(
                             "steps_per_epoch": spe,
                         },
                     )
+                    if ema_ckpt is not None:
+                        ema_ckpt.save(
+                            epoch * spe + nb,
+                            jax.device_get(state.ema_params),
+                        )
             train_metrics = _mean_metrics(sums, nb - nb0)
             dt = time.time() - t0
             if logger:
@@ -245,14 +291,24 @@ def _train_loop(
                         "steps_per_epoch": spe,
                     },
                 )
+                if ema_ckpt is not None:
+                    ema_ckpt.save(
+                        (epoch + 1) * spe, jax.device_get(state.ema_params)
+                    )
 
             if val_dl is not None and (epoch % eval_every == 0 or epoch == max_epochs - 1):
                 vsums: Dict[str, float] = {}
                 vn = 0
                 sr = None
                 val_dl.set_epoch(epoch)
+                # EMA runs validate the averaged weights — that's the
+                # model that ships (and that load_test_model serves)
+                eval_params = (
+                    state.ema_params if state.ema_params is not None
+                    else state.params
+                )
                 for batch in val_dl:
-                    vmetrics, sr = eval_step(state.params, batch)
+                    vmetrics, sr = eval_step(eval_params, batch)
                     _accumulate(vsums, vmetrics)
                     vn += 1
                 if vn:
@@ -286,6 +342,10 @@ def _train_loop(
                         jax.device_get(state.opt_state),
                         config=cfg.to_dict(),
                     )
+                    if ema_ckpt is not None:
+                        ema_ckpt.save(
+                            epoch, jax.device_get(state.ema_params)
+                        )
                 if logger:
                     logger.save(ckpt.directory)
 
