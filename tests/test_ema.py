@@ -218,3 +218,21 @@ def test_trainer_ema_checkpoint_and_serving(tmp_path, rng):
         ),
         state.ema_params, ema_params,
     )
+
+    # restore_ema=true: the EMA average becomes the INITIAL weights
+    cfg3 = load_config(
+        overrides=overrides
+        + [f"train.restore={ckpt_dir}", "train.restore_ema=true"]
+    )
+    state3 = cts(
+        model2, jax.random.PRNGKey(2), example, tx, init_jit=False
+    )
+    mgr = CheckpointManager(str(ckpt_dir))
+    state3, _, _ = restore_state(state3, cfg3.train, mgr, str(ckpt_dir))
+    mgr.close()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(jnp.asarray(b)), rtol=1e-6, atol=1e-7
+        ),
+        state3.params, ema_params,
+    )

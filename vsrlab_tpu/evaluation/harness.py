@@ -27,7 +27,7 @@ import numpy as np
 
 from vsrlab_tpu.core.checkpoint import CheckpointManager, load_config_snapshot
 from vsrlab_tpu.core.config import Config, instantiate
-from vsrlab_tpu.core.metrics import psnr, ssim
+from vsrlab_tpu.core.metrics import MetricCollection
 from vsrlab_tpu.data.datasets import load_frame
 
 
@@ -186,7 +186,7 @@ def run_test_matrix(
     fps_list=(6, 8, 10),
     crf_list=(30, 32, 34),
     hr_crf: int = 5,
-    metrics=("PSNR", "SSIM"),
+    metrics=None,
     save_frames: bool = True,
     mesh=None,
     tile: Optional[int] = None,
@@ -219,7 +219,13 @@ def run_test_matrix(
         model = model.clone(align_chunks=align_chunks)
     forward = make_forward(model, tile, tile_overlap)
 
-    metric_fns = {"PSNR": psnr, "SSIM": ssim}
+    # metric set: explicit arg > run-config snapshot > PSNR/SSIM default
+    # (reference builds its metric from config too, src/core/utils.py:178-181;
+    # PSNR_Y/SSIM_Y enable the Vimeo/Vid4 luma protocol)
+    if metrics is None:
+        cfg_metrics = (_cfg.train.get("metric") or {}).get("metrics")
+        metrics = tuple(cfg_metrics) if cfg_metrics else ("PSNR", "SSIM")
+    metric_fns = dict(MetricCollection.BUILTIN)
     rows: List[Dict] = []
     name = Path(cfg_dir).name
     output_folder = Path(out_dir) / name

@@ -40,7 +40,12 @@ from vsrlab_tpu.train.step import (
     ema_update,
     make_eval_step,
 )
-from vsrlab_tpu.train.train import _accumulate, _mean_metrics, _restore_ema
+from vsrlab_tpu.train.train import (
+    _accumulate,
+    _load_ema_params,
+    _mean_metrics,
+    _restore_ema,
+)
 
 
 def make_gan_train_step(
@@ -160,6 +165,13 @@ def restore_generator(g_state, tcfg):
             )
         # step-keyed checkpoints (supervised save_every_steps) carry the
         # epoch in a meta sidecar; GAN resume is epoch-granular
+        if tcfg.get("restore_ema"):
+            # fine-tune from the source run's EMA average instead of its
+            # raw weights (the natural GAN-finetune init when the
+            # supervised run kept a shadow)
+            g_state = g_state.replace(
+                params=_load_ema_params(tcfg.restore, key, g_state.params)
+            )
         if g_state.ema_params is not None:
             # EMA-enabled fine-tune: restore the source run's shadow when
             # it has one, else seed from the restored weights

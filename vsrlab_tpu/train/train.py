@@ -48,28 +48,36 @@ def _accumulate(sums: Dict[str, float], metrics) -> Dict[str, float]:
     return sums
 
 
+def _load_ema_params(restore_dir: str, key: int, template):
+    """Load the EMA shadow a run saved under ``<run>/ema`` at checkpoint
+    ``key``. Raises FileNotFoundError when the run kept no EMA."""
+    from pathlib import Path
+
+    ema_dir = Path(restore_dir) / "ema"
+    if not ema_dir.is_dir():
+        raise FileNotFoundError(f"no EMA sidecar under {restore_dir}")
+    mgr = CheckpointManager(str(ema_dir))
+    try:
+        _, payload = mgr.restore(epoch=key, template={"params": template})
+    finally:
+        mgr.close()
+    return payload["params"]
+
+
 def _restore_ema(state, restore_dir: str, key: int):
     """Load the EMA shadow saved by an EMA-enabled run (sidecar manager
     under ``<run>/ema``); seed from the restored params when the source
     run had no EMA (e.g. finetuning a non-EMA checkpoint)."""
-    from pathlib import Path
-
-    ema_dir = Path(restore_dir) / "ema"
-    if ema_dir.is_dir():
-        try:
-            mgr = CheckpointManager(str(ema_dir))
-            _, payload = mgr.restore(
-                epoch=key, template={"params": state.ema_params}
-            )
-            mgr.close()
-            return state.replace(ema_params=payload["params"])
-        except FileNotFoundError:
-            pass
-    # REAL copies: aliasing params would double-donate buffers in the
-    # donated train step
-    return state.replace(
-        ema_params=jax.tree.map(jnp.copy, state.params)
-    )
+    try:
+        return state.replace(
+            ema_params=_load_ema_params(restore_dir, key, state.ema_params)
+        )
+    except FileNotFoundError:
+        # REAL copies: aliasing params would double-donate buffers in the
+        # donated train step
+        return state.replace(
+            ema_params=jax.tree.map(jnp.copy, state.params)
+        )
 
 
 def restore_state(
@@ -101,6 +109,12 @@ def restore_state(
             template={"params": state.params, "opt_state": state.opt_state},
         )
         state = state.replace(params=payload["params"])
+        if tcfg.get("restore_ema"):
+            # start from the source run's EMA average instead of its raw
+            # weights (the better fine-tune init when the run kept one)
+            state = state.replace(
+                params=_load_ema_params(tcfg.restore, key, state.params)
+            )
         if state.ema_params is not None:
             state = _restore_ema(state, tcfg.restore, key)
         meta = src.load_meta(key)
