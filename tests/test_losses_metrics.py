@@ -202,3 +202,33 @@ def test_y_metrics_in_builtin_registry(rng):
     out = col(a, a)
     assert set(out) == {"PSNR_Y", "SSIM_Y"}
     assert abs(float(out["SSIM_Y"]) - 1.0) < 1e-6
+
+
+def test_train_step_metric_names_from_config(rng):
+    """The jitted steps honour a configured metric list (reference
+    build_metric, src/core/utils.py:178-181)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vsrlab_tpu.models import RealBasicVSR
+    from vsrlab_tpu.train.state import create_train_state
+    from vsrlab_tpu.train.step import make_eval_step, make_supervised_train_step
+
+    model = RealBasicVSR(
+        mid_channels=8, res_blocks=1, cleaning_blocks=1, cleaning_steps=1
+    )
+    lr = jnp.asarray(rng.uniform(size=(2, 2, 8, 8, 3)), jnp.float32)
+    hr = jnp.asarray(rng.uniform(size=(2, 2, 32, 32, 3)), jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), lr, optax.sgd(1e-3), init_jit=False
+    )
+    step = make_supervised_train_step(
+        model, donate=False, metrics=("PSNR_Y",), num_grad_accum=2
+    )
+    _, m = step(state, {"lr": lr, "hr": hr})
+    assert set(m) == {"Loss", "PSNR_Y"}
+
+    ev = make_eval_step(model, metrics=("PSNR", "SSIM_Y"))
+    m, _ = ev(state.params, {"lr": lr, "hr": hr})
+    assert set(m) == {"Loss", "PSNR", "SSIM_Y"}

@@ -56,8 +56,10 @@ def make_gan_train_step(
     update_generator: bool = True,
     donate: bool = True,
     ema_decay: float = 0.0,
+    metrics=("PSNR", "SSIM"),
 ):
     """One jitted step updating generator (optionally) and discriminator."""
+    metric_names = metrics
 
     def frames(clip):
         return clip.reshape((-1,) + clip.shape[2:])
@@ -121,7 +123,7 @@ def make_gan_train_step(
             "PerceptualLoss": aux["PerceptualLoss"],
             "AdversarialLoss": aux["AdversarialLoss"],
         }
-        metrics.update(default_metrics(aux["sr"], hr))
+        metrics.update(default_metrics(aux["sr"], hr, metric_names))
         return g_state, d_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
@@ -243,12 +245,15 @@ def run(cfg: Config) -> Dict[str, float]:
     ema_ckpt = (
         CheckpointManager(str(ckpt.directory / "ema")) if ema_decay else None
     )
-    eval_step = make_eval_step(model)
+    metric_names = tuple(
+        (tcfg.get("metric") or {}).get("metrics") or ("PSNR", "SSIM")
+    )
+    eval_step = make_eval_step(model, metrics=metric_names)
 
     steps = {
         up: make_gan_train_step(
             model, discriminator, perceptual, adv_weight, up,
-            ema_decay=ema_decay,
+            ema_decay=ema_decay, metrics=metric_names,
         )
         for up in (True, False)
     }

@@ -22,11 +22,13 @@ import jax
 import jax.numpy as jnp
 
 from vsrlab_tpu.core.losses import charbonnier_loss
-from vsrlab_tpu.core.metrics import psnr, ssim
+from vsrlab_tpu.core.metrics import MetricCollection
 from vsrlab_tpu.ops.resize import resize_bilinear
 from vsrlab_tpu.train.state import TrainState
 
 Batch = Dict[str, jnp.ndarray]
+
+DEFAULT_METRICS = ("PSNR", "SSIM")
 
 
 def _resize_clip_to(hr: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
@@ -38,10 +40,13 @@ def _resize_clip_to(hr: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b, t, th, tw, c)
 
 
-def default_metrics(sr, hr) -> Dict[str, jnp.ndarray]:
+def default_metrics(sr, hr, names=DEFAULT_METRICS) -> Dict[str, jnp.ndarray]:
+    """On-device metrics by builtin name (config surface
+    ``train.metric.metrics``, mirroring the reference's build_metric,
+    src/core/utils.py:178-181; Y variants enable the luma protocol)."""
     sr = jnp.clip(sr, 0.0, 1.0)
     hr = jnp.clip(hr, 0.0, 1.0)
-    return {"PSNR": psnr(sr, hr), "SSIM": ssim(sr, hr)}
+    return {k: MetricCollection.BUILTIN[k](sr, hr) for k in names}
 
 
 def supervised_loss(
@@ -83,6 +88,7 @@ def make_supervised_train_step(
     compute_metrics: bool = True,
     donate: bool = True,
     ema_decay: float = 0.0,
+    metrics: Tuple[str, ...] = DEFAULT_METRICS,
 ):
     """Build the jitted supervised train step.
 
@@ -109,10 +115,10 @@ def make_supervised_train_step(
             new_state = ema_update(
                 state.apply_gradients(grads=grads), ema_decay
             )
-            metrics = {"Loss": loss}
+            out_metrics = {"Loss": loss}
             if compute_metrics:
-                metrics.update(default_metrics(sr, hr))
-            return new_state, metrics
+                out_metrics.update(default_metrics(sr, hr, metrics))
+            return new_state, out_metrics
 
         # num_grad_accum > 1: scan microbatches, carrying only the grad
         # sum and SCALAR metric sums — stacking each microbatch's SR
@@ -129,13 +135,13 @@ def make_supervised_train_step(
             (l, aux_i), g = grad_fn(state.params, lr_i, hr_i)
             g_acc = jax.tree.map(jnp.add, g_acc, g)
             if compute_metrics:
-                m_i = default_metrics(aux_i["sr"], hr_i)
+                m_i = default_metrics(aux_i["sr"], hr_i, metrics)
                 m_acc = {k: m_acc[k] + m_i[k] for k in m_acc}
             return (g_acc, l_acc + l, m_acc), None
 
         g0 = jax.tree.map(jnp.zeros_like, state.params)
         m0 = (
-            {"PSNR": jnp.zeros((), jnp.float32), "SSIM": jnp.zeros((), jnp.float32)}
+            {k: jnp.zeros((), jnp.float32) for k in metrics}
             if compute_metrics
             else {}
         )
@@ -144,26 +150,33 @@ def make_supervised_train_step(
         )
         grads = jax.tree.map(lambda g: g / num_grad_accum, grads)
         new_state = ema_update(state.apply_gradients(grads=grads), ema_decay)
-        metrics = {"Loss": loss / num_grad_accum}
+        out_metrics = {"Loss": loss / num_grad_accum}
         if compute_metrics:
-            metrics.update(
+            out_metrics.update(
                 {k: v / num_grad_accum for k, v in msums.items()}
             )
-        return new_state, metrics
+        return new_state, out_metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, loss_fn: Callable = charbonnier_loss):
-    """Jitted eval step: forward + loss + PSNR/SSIM (reference evaluate,
-    src/train.py:28-50). Returns (metrics, sr) so callers can log image
-    grids."""
+def make_eval_step(
+    model,
+    loss_fn: Callable = charbonnier_loss,
+    metrics: Tuple[str, ...] = DEFAULT_METRICS,
+):
+    """Jitted eval step: forward + loss + configured metrics (reference
+    evaluate, src/train.py:28-50). Returns (metrics, sr) so callers can
+    log image grids."""
+    metric_names = metrics
 
     def step(params, batch: Batch):
         out = model.apply({"params": params}, batch["lr"])
         loss, aux = supervised_loss(out, batch, loss_fn)
         sr = aux["sr"]
-        metrics = {"Loss": loss, **default_metrics(sr, batch["hr"])}
-        return metrics, sr
+        out_metrics = {
+            "Loss": loss, **default_metrics(sr, batch["hr"], metric_names)
+        }
+        return out_metrics, sr
 
     return jax.jit(step)

@@ -200,10 +200,15 @@ def run(cfg: Config) -> Dict[str, float]:
 
     logger = build_logger(tcfg.get("logger")) if process_index() == 0 else None
 
-    train_step = make_supervised_train_step(
-        model, num_grad_accum=num_grad_acc, ema_decay=ema_decay
+    # metric set from config (reference build_metric, src/core/utils.py:178-181)
+    metric_names = tuple(
+        (tcfg.get("metric") or {}).get("metrics") or ("PSNR", "SSIM")
     )
-    eval_step = make_eval_step(model)
+    train_step = make_supervised_train_step(
+        model, num_grad_accum=num_grad_acc, ema_decay=ema_decay,
+        metrics=metric_names,
+    )
+    eval_step = make_eval_step(model, metrics=metric_names)
     ema_ckpt = (
         CheckpointManager(
             str(ckpt.directory / "ema"),
