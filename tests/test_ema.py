@@ -109,6 +109,86 @@ def test_ema_update_with_grad_accum(rng):
     )
 
 
+def _fake_run_dir(tmp_path, params, main_keys, ema_keys):
+    """Run dir with a config snapshot, main checkpoints at ``main_keys``
+    and an ema sidecar at ``ema_keys`` (scaled params so sources are
+    distinguishable)."""
+    from vsrlab_tpu.core.checkpoint import CheckpointManager
+
+    cfg = {
+        "train": {
+            "model": {
+                "_target_": "RealBasicVSR",
+                "mid_channels": 8,
+                "res_blocks": 1,
+                "cleaning_blocks": 1,
+            },
+            "precision": "fp32",
+        }
+    }
+    d = tmp_path / "run"
+    mgr = CheckpointManager(str(d))
+    host = jax.device_get(params)
+    for k in main_keys:
+        mgr.save(k, host, config=cfg)
+    mgr.close()
+    if ema_keys:
+        ema = CheckpointManager(str(d / "ema"))
+        doubled = jax.tree.map(lambda x: x * 2.0, host)
+        for k in ema_keys:
+            ema.save(k, doubled)
+        ema.close()
+    return str(d)
+
+
+def test_load_test_model_rejects_stale_ema(tmp_path):
+    """An ema sidecar whose latest key lags the main checkpoint must NOT
+    be served (e.g. a resume with ema_decay=0 after an EMA phase)."""
+    from vsrlab_tpu.evaluation.harness import load_test_model
+
+    _, state = tiny_state()
+    d = _fake_run_dir(tmp_path, state.params, main_keys=[0, 1], ema_keys=[0])
+    _, served, _ = load_test_model(d)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(jnp.asarray(a)), np.asarray(b)
+        ),
+        served, jax.device_get(state.params),  # raw, NOT the doubled ema
+    )
+
+
+def test_load_test_model_serves_aligned_ema(tmp_path):
+    from vsrlab_tpu.evaluation.harness import load_test_model
+
+    _, state = tiny_state()
+    d = _fake_run_dir(tmp_path, state.params, main_keys=[0, 1], ema_keys=[0, 1])
+    _, served, _ = load_test_model(d)
+    doubled = jax.tree.map(lambda x: x * 2.0, jax.device_get(state.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jnp.asarray(a)), np.asarray(b), rtol=1e-6
+        ),
+        served, doubled,
+    )
+
+
+def test_restore_ema_falls_back_to_latest_key(tmp_path):
+    """A crash between the paired main/ema saves must not discard the
+    averaging history: the sidecar's latest key is used with a warning."""
+    from vsrlab_tpu.train.train import _load_ema_params
+
+    _, state = tiny_state()
+    d = _fake_run_dir(tmp_path, state.params, main_keys=[0, 1], ema_keys=[0])
+    loaded = _load_ema_params(d, 1, state.params)  # key 1 missing in ema/
+    doubled = jax.tree.map(lambda x: x * 2.0, jax.device_get(state.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jnp.asarray(a)), np.asarray(b), rtol=1e-6
+        ),
+        loaded, doubled,
+    )
+
+
 def test_gan_step_ema(rng):
     """Generator EMA in the GAN step: updates with the generator, frozen
     when the generator is frozen (freeze_epochs phase)."""

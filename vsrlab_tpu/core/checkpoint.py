@@ -94,6 +94,10 @@ class CheckpointManager:
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_keys(self) -> list:
+        """All stored checkpoint keys (epochs or global steps)."""
+        return sorted(self._mgr.all_steps())
+
     def restore(
         self, epoch: Optional[int] = None, template: Any = None
     ) -> Tuple[int, dict]:

@@ -159,6 +159,20 @@ MetricCollection.BUILTIN = {
 }
 
 
+def resolve_metric_names(names) -> tuple:
+    """Validate a sequence of builtin metric names up-front (so a config
+    typo fails at build time with the list of valid names, not at trace
+    time — or minutes into an eval sweep — with a bare KeyError)."""
+    names = tuple(names)
+    unknown = [n for n in names if n not in MetricCollection.BUILTIN]
+    if unknown:
+        raise ValueError(
+            f"unknown metric(s) {unknown}; built-ins: "
+            f"{sorted(MetricCollection.BUILTIN)}"
+        )
+    return names
+
+
 def running_metrics(
     acc: Dict[str, float], metric: MetricCollection, sr, hr
 ) -> Dict[str, float]:

@@ -43,12 +43,27 @@ def load_test_model(cfg_dir: str, use_ema: bool = True):
 
     cfg = Config.from_dict(load_config_snapshot(cfg_dir))
     model = build_model(cfg.train.model, cfg.train.get("precision", "fp32"))
+    mgr = CheckpointManager(cfg_dir)
+    key = mgr.latest_epoch()
     ema_dir = Path(cfg_dir) / "ema"
-    src = cfg_dir
     if use_ema and ema_dir.is_dir():
-        src = str(ema_dir)
-        print(f"serving EMA weights from {src}")
-    mgr = CheckpointManager(src)
+        # serve the shadow ONLY when it is aligned with the latest main
+        # checkpoint — an ema dir left behind by an earlier EMA-enabled
+        # phase (or a save interrupted between the paired writes) must
+        # not silently serve stale weights
+        ema_mgr = CheckpointManager(str(ema_dir))
+        if ema_mgr.latest_epoch() == key:
+            _, payload = ema_mgr.restore()
+            ema_mgr.close()
+            mgr.close()
+            print(f"serving EMA weights from {ema_dir} @ key {key}")
+            return model, payload["params"], cfg
+        print(
+            f"WARNING: {ema_dir} latest key {ema_mgr.latest_epoch()} != "
+            f"main checkpoint key {key} — serving RAW weights (stale or "
+            "partial EMA sidecar)"
+        )
+        ema_mgr.close()
     _, payload = mgr.restore()
     mgr.close()
     return model, payload["params"], cfg
@@ -68,6 +83,18 @@ def get_video(path, pool=None) -> np.ndarray:
     return np.stack(imgs)[None]
 
 
+def _tpu_compile_opts():
+    """Measured-fastest TPU compile options (docs/tpu_kernel_notes.md
+    compiler-option sweep) — ONE definition so batch and streaming
+    inference always compile with the same options."""
+    if jax.default_backend() != "tpu":
+        return None
+    return {
+        "xla_tpu_enable_experimental_fusion_cost_model": "true",
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+    }
+
+
 def make_forward(model, tile: Optional[int] = None, tile_overlap: int = 16):
     """Build the sr-only inference callable ``forward(params, clip)``.
 
@@ -77,14 +104,7 @@ def make_forward(model, tile: Optional[int] = None, tile_overlap: int = 16):
     single-pass footprint exceeds HBM. Applies the measured-fastest
     TPU compile options (docs/tpu_kernel_notes.md compiler-option sweep).
     """
-    opts = (
-        {
-            "xla_tpu_enable_experimental_fusion_cost_model": "true",
-            "xla_tpu_scoped_vmem_limit_kib": "32768",
-        }
-        if jax.default_backend() == "tpu"
-        else None
-    )
+    opts = _tpu_compile_opts()
 
     def _sr_only(p, x):
         out = model.apply({"params": p}, x)
@@ -113,14 +133,7 @@ def make_stream_forward(model):
     bitwise identical to a full-clip run, so long videos keep temporal
     continuity the reference's window chunking discards
     (src/test.py:124-135)."""
-    opts = (
-        {
-            "xla_tpu_enable_experimental_fusion_cost_model": "true",
-            "xla_tpu_scoped_vmem_limit_kib": "32768",
-        }
-        if jax.default_backend() == "tpu"
-        else None
-    )
+    opts = _tpu_compile_opts()
 
     def _first(p, x):
         out = model.apply({"params": p}, x, return_state=True)
@@ -221,10 +234,15 @@ def run_test_matrix(
 
     # metric set: explicit arg > run-config snapshot > PSNR/SSIM default
     # (reference builds its metric from config too, src/core/utils.py:178-181;
-    # PSNR_Y/SSIM_Y enable the Vimeo/Vid4 luma protocol)
-    if metrics is None:
-        cfg_metrics = (_cfg.train.get("metric") or {}).get("metrics")
-        metrics = tuple(cfg_metrics) if cfg_metrics else ("PSNR", "SSIM")
+    # PSNR_Y/SSIM_Y enable the Vimeo/Vid4 luma protocol). Validated
+    # up-front — a typo must fail before videos start decoding.
+    from vsrlab_tpu.core.metrics import resolve_metric_names
+    from vsrlab_tpu.train.step import metrics_from_config
+
+    metrics = (
+        metrics_from_config(_cfg.train) if metrics is None
+        else resolve_metric_names(metrics)
+    )
     metric_fns = dict(MetricCollection.BUILTIN)
     rows: List[Dict] = []
     name = Path(cfg_dir).name

@@ -35,10 +35,12 @@ from vsrlab_tpu.parallel import create_mesh, process_index, replicated, shard_ba
 from vsrlab_tpu.train.builders import build_loaders, build_model, build_tx
 from vsrlab_tpu.train.state import TrainState, create_train_state
 from vsrlab_tpu.train.step import (
+    DEFAULT_METRICS,
     _resize_clip_to,
     default_metrics,
     ema_update,
     make_eval_step,
+    metrics_from_config,
 )
 from vsrlab_tpu.train.train import (
     _accumulate,
@@ -56,10 +58,12 @@ def make_gan_train_step(
     update_generator: bool = True,
     donate: bool = True,
     ema_decay: float = 0.0,
-    metrics=("PSNR", "SSIM"),
+    metrics=DEFAULT_METRICS,
 ):
     """One jitted step updating generator (optionally) and discriminator."""
-    metric_names = metrics
+    from vsrlab_tpu.core.metrics import resolve_metric_names
+
+    metric_names = resolve_metric_names(metrics)
 
     def frames(clip):
         return clip.reshape((-1,) + clip.shape[2:])
@@ -245,9 +249,7 @@ def run(cfg: Config) -> Dict[str, float]:
     ema_ckpt = (
         CheckpointManager(str(ckpt.directory / "ema")) if ema_decay else None
     )
-    metric_names = tuple(
-        (tcfg.get("metric") or {}).get("metrics") or ("PSNR", "SSIM")
-    )
+    metric_names = metrics_from_config(tcfg)
     eval_step = make_eval_step(model, metrics=metric_names)
 
     steps = {

@@ -22,13 +22,22 @@ import jax
 import jax.numpy as jnp
 
 from vsrlab_tpu.core.losses import charbonnier_loss
-from vsrlab_tpu.core.metrics import MetricCollection
+from vsrlab_tpu.core.metrics import MetricCollection, resolve_metric_names
 from vsrlab_tpu.ops.resize import resize_bilinear
 from vsrlab_tpu.train.state import TrainState
 
 Batch = Dict[str, jnp.ndarray]
 
 DEFAULT_METRICS = ("PSNR", "SSIM")
+
+
+def metrics_from_config(tcfg) -> Tuple[str, ...]:
+    """Resolve the metric set from a ``train`` config section
+    (``metric.metrics``; reference build_metric, src/core/utils.py:178-181),
+    validated against the builtin registry."""
+    return resolve_metric_names(
+        (tcfg.get("metric") or {}).get("metrics") or DEFAULT_METRICS
+    )
 
 
 def _resize_clip_to(hr: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
@@ -99,6 +108,7 @@ def make_supervised_train_step(
     update_weights, src/core/utils.py:270-281). ``ema_decay > 0``
     maintains ``state.ema_params`` (create the state with the same decay).
     """
+    metrics = resolve_metric_names(metrics)
 
     def loss_for(params, lr, hr):
         out = model.apply({"params": params}, lr)
@@ -168,7 +178,7 @@ def make_eval_step(
     """Jitted eval step: forward + loss + configured metrics (reference
     evaluate, src/train.py:28-50). Returns (metrics, sr) so callers can
     log image grids."""
-    metric_names = metrics
+    metric_names = resolve_metric_names(metrics)
 
     def step(params, batch: Batch):
         out = model.apply({"params": params}, batch["lr"])

@@ -29,7 +29,11 @@ from vsrlab_tpu.core.loggers import build_logger
 from vsrlab_tpu.parallel import create_mesh, process_index, replicated, shard_batch
 from vsrlab_tpu.train.builders import build_loaders, build_model, build_tx
 from vsrlab_tpu.train.state import create_train_state
-from vsrlab_tpu.train.step import make_eval_step, make_supervised_train_step
+from vsrlab_tpu.train.step import (
+    make_eval_step,
+    make_supervised_train_step,
+    metrics_from_config,
+)
 
 
 def _mean_metrics(sums: Dict[str, float], count: int) -> Dict[str, float]:
@@ -50,7 +54,12 @@ def _accumulate(sums: Dict[str, float], metrics) -> Dict[str, float]:
 
 def _load_ema_params(restore_dir: str, key: int, template):
     """Load the EMA shadow a run saved under ``<run>/ema`` at checkpoint
-    ``key``. Raises FileNotFoundError when the run kept no EMA."""
+    ``key``. Raises FileNotFoundError when the run kept no EMA at all.
+
+    When the sidecar exists but lacks ``key`` (a crash in the window
+    between the paired main/ema saves), falls back to the sidecar's
+    LATEST key with a loud warning — discarding the whole averaging
+    history over a one-key lag would be far worse."""
     from pathlib import Path
 
     ema_dir = Path(restore_dir) / "ema"
@@ -58,7 +67,17 @@ def _load_ema_params(restore_dir: str, key: int, template):
         raise FileNotFoundError(f"no EMA sidecar under {restore_dir}")
     mgr = CheckpointManager(str(ema_dir))
     try:
-        _, payload = mgr.restore(epoch=key, template={"params": template})
+        keys = mgr.all_keys()
+        if not keys:
+            raise FileNotFoundError(f"empty EMA sidecar under {restore_dir}")
+        use = key if key in keys else keys[-1]
+        if use != key:
+            print(
+                f"WARNING: {ema_dir} has no checkpoint @ key {key} "
+                f"(interrupted between paired saves?) — using its latest "
+                f"key {use} instead"
+            )
+        _, payload = mgr.restore(epoch=use, template={"params": template})
     finally:
         mgr.close()
     return payload["params"]
@@ -73,6 +92,10 @@ def _restore_ema(state, restore_dir: str, key: int):
             ema_params=_load_ema_params(restore_dir, key, state.ema_params)
         )
     except FileNotFoundError:
+        print(
+            f"note: no EMA sidecar under {restore_dir} — seeding the EMA "
+            "shadow from the restored weights"
+        )
         # REAL copies: aliasing params would double-donate buffers in the
         # donated train step
         return state.replace(
@@ -200,10 +223,7 @@ def run(cfg: Config) -> Dict[str, float]:
 
     logger = build_logger(tcfg.get("logger")) if process_index() == 0 else None
 
-    # metric set from config (reference build_metric, src/core/utils.py:178-181)
-    metric_names = tuple(
-        (tcfg.get("metric") or {}).get("metrics") or ("PSNR", "SSIM")
-    )
+    metric_names = metrics_from_config(tcfg)
     train_step = make_supervised_train_step(
         model, num_grad_accum=num_grad_acc, ema_decay=ema_decay,
         metrics=metric_names,
