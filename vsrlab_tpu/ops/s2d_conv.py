@@ -64,6 +64,9 @@ def _s2d_tap_map(k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """Derived s2d kernel: (k, k, Ci, Co) -> (ks, ks, 4Ci, 4Co)."""
+    # numpy weights (e.g. template-less orbax restores) + traced index
+    # arrays (jax.export symbolic traces) would hit numpy fancy-indexing
+    w = jnp.asarray(w)
     k = w.shape[0]
     ci, co = w.shape[2], w.shape[3]
     iy, ix, mask = _s2d_tap_map(k)
