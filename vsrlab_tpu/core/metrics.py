@@ -148,6 +148,7 @@ class MetricCollection:
 
     def __call__(self, sr: jnp.ndarray, hr: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         sr = jnp.clip(sr, 0.0, 1.0)
+        hr = jnp.clip(hr, 0.0, 1.0)
         return {self._name(k): m(sr, hr) for k, m in self.metrics.items()}
 
     def clone(self, prefix: str | None = None, postfix: str | None = None):

@@ -89,19 +89,62 @@ def read_video_window(path, start: int, count: int) -> np.ndarray:
     return np.stack(frames)
 
 
+class SequentialVideoReader:
+    """Decode a video file window by window, keeping ONE open container
+    (no per-window seek). Streams arbitrarily long videos at O(window)
+    host memory — the building block of the pipelined ``upscale`` CLI."""
+
+    def __init__(self, path):
+        self._cap = cv2.VideoCapture(str(path))
+        if not self._cap.isOpened():
+            raise IOError(f"not a video: {path}")
+        self.fps = self._cap.get(cv2.CAP_PROP_FPS)
+        self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+
+    def read(self, count: int) -> np.ndarray:
+        """Next ``count`` frames as (k, H, W, 3) float32 RGB in [0, 1];
+        ``k < count`` at EOF (possibly 0)."""
+        frames: List[np.ndarray] = []
+        for _ in range(count):
+            ok, img = self._cap.read()
+            if not ok:
+                break
+            frames.append(img[..., ::-1].astype(np.float32) / 255.0)
+        if not frames:
+            return np.zeros((0, self.height, self.width, 3), np.float32)
+        return np.stack(frames)
+
+    def close(self):
+        self._cap.release()
+
+
+def open_video_writer(path, width: int, height: int, codec: str = "mp4v",
+                      fps: float = 24.0, crf: int = 23) -> "cv2.VideoWriter":
+    """Open an encoder for incremental writes (frames appended as they
+    are produced — O(window) host memory for long outputs)."""
+    fourcc = cv2.VideoWriter_fourcc(*_FOURCC.get(codec.lower(), "mp4v"))
+    writer = cv2.VideoWriter(str(path), fourcc, float(fps), (width, height))
+    if not writer.isOpened():
+        raise IOError(f"cannot open encoder for: {path}")
+    writer.set(cv2.VIDEOWRITER_PROP_QUALITY, max(1.0, 100.0 - crf * 2.0))
+    return writer
+
+
+def write_frames(writer, frames: np.ndarray):
+    """Append (T, H, W, 3) float32 RGB [0,1] frames to an open writer."""
+    for f in frames:
+        u8 = np.clip(np.rint(np.clip(f, 0, 1) * 255), 0, 255).astype(np.uint8)
+        writer.write(u8[..., ::-1])
+
+
 def write_video(path, frames: np.ndarray, codec: str = "mp4v",
                 fps: float = 24.0, crf: int = 23):
     """Encode (T, H, W, 3) float32 frames to a video file
     (reference augmentations.py:88-105); crf maps to encoder quality."""
     t, h, w, _ = frames.shape
-    fourcc = cv2.VideoWriter_fourcc(*_FOURCC.get(codec.lower(), "mp4v"))
-    writer = cv2.VideoWriter(str(path), fourcc, float(fps), (w, h))
-    if not writer.isOpened():
-        raise IOError(f"cannot open encoder for: {path}")
-    writer.set(cv2.VIDEOWRITER_PROP_QUALITY, max(1.0, 100.0 - crf * 2.0))
-    for f in frames:
-        u8 = np.clip(np.rint(np.clip(f, 0, 1) * 255), 0, 255).astype(np.uint8)
-        writer.write(u8[..., ::-1])
+    writer = open_video_writer(path, w, h, codec, fps, crf)
+    write_frames(writer, frames)
     writer.release()
 
 

@@ -21,6 +21,8 @@ Usage::
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from pathlib import Path
 
@@ -28,6 +30,99 @@ import jax
 import numpy as np
 
 VIDEO_EXTS = {".mp4", ".avi", ".mkv", ".mov", ".webm"}
+
+
+def _iter_windows(read_next, window_size: int):
+    """Yield ``(window (1, ws, H, W, 3), n_real)`` until the source is
+    exhausted; a short final read is padded by repeating its last frame
+    (``n_real`` says how many frames are real)."""
+    while True:
+        frames = read_next(window_size)
+        k = 0 if frames is None else len(frames)
+        if k == 0:
+            return
+        if k < window_size:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], window_size - k, axis=0)]
+            )
+        yield frames[None], k
+
+
+def _prefetch(gen, depth: int = 1):
+    """Run a generator in a daemon thread with a bounded queue, so the
+    NEXT window decodes while the device computes the current one (cv2
+    decode releases the GIL)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface decode errors to the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+class _VideoSink:
+    """Incremental video encoder: frames append as windows drain."""
+
+    def __init__(self, path, fps: float, codec: str):
+        self.path, self.fps, self.codec = Path(path), fps, codec
+        self._writer = None
+        self.frames_written = 0
+        self.frame_shape = None
+
+    def write(self, frames: np.ndarray):
+        from vsrlab_tpu.data.video_io import open_video_writer, write_frames
+
+        if self._writer is None:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            h, w = frames.shape[1:3]
+            self._writer = open_video_writer(
+                self.path, w, h, self.codec, self.fps
+            )
+        write_frames(self._writer, frames)
+        self.frames_written += len(frames)
+        self.frame_shape = frames.shape[1:]
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.release()
+
+
+class _FolderSink:
+    """Incremental PNG frame dump."""
+
+    def __init__(self, path):
+        self.path = Path(path)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.frames_written = 0
+        self.frame_shape = None
+
+    def write(self, frames: np.ndarray):
+        import cv2
+
+        for frame in frames:
+            u8 = np.clip(np.rint(frame * 255), 0, 255).astype(np.uint8)
+            cv2.imwrite(
+                str(self.path / f"img{self.frames_written:05d}.png"),
+                u8[..., ::-1],
+            )
+            self.frames_written += 1
+        self.frame_shape = frames.shape[1:]
+
+    def close(self):
+        pass
 
 
 def upscale(
@@ -42,10 +137,16 @@ def upscale(
     align_chunks: int = 0,
     stream: bool = False,
 ) -> tuple:
-    """Upscale one video file or frame folder. Returns (out_shape, seconds)."""
-    from vsrlab_tpu.data.video_io import read_video, write_video
+    """Upscale one video file or frame folder. Returns (out_shape, seconds).
+
+    The loop is fully pipelined at O(window) memory in the video length:
+    the source decodes window ``i+1`` in a background thread while the
+    device computes window ``i`` (async dispatch) and the host encodes
+    window ``i-1`` — decode, SR, and encode all overlap.
+    """
+    from vsrlab_tpu.data.datasets import load_frame
+    from vsrlab_tpu.data.video_io import SequentialVideoReader
     from vsrlab_tpu.evaluation.harness import (
-        get_video,
         load_test_model,
         make_forward,
         make_stream_forward,
@@ -61,13 +162,26 @@ def upscale(
         )
 
     inp = Path(input_path)
+    reader = None
     if inp.is_dir():
-        clip = get_video(inp)  # (1, T, H, W, 3)
+        frame_files = sorted(p for p in inp.iterdir() if p.is_file())
+        if not frame_files:
+            raise IOError(f"no frames in {inp}")
+        pos = 0
+
+        def read_next(n):
+            nonlocal pos
+            batch = frame_files[pos : pos + n]
+            pos += len(batch)
+            if not batch:
+                return None
+            return np.stack([load_frame(p) for p in batch])
+
         src_fps = fps or 24.0
     else:
-        frames, _codec, src_fps, _, _ = read_video(inp)
-        clip = frames[None]
-        src_fps = fps or src_fps
+        reader = SequentialVideoReader(inp)
+        read_next = reader.read
+        src_fps = fps or reader.fps
 
     model, params, _cfg = load_test_model(cfg_dir)
     if align_chunks and hasattr(model, "align_chunks"):
@@ -86,50 +200,49 @@ def upscale(
     forward = None if stream else make_forward(model, tile, tile_overlap)
 
     # windows run SEQUENTIALLY (unlike the harness's stacked batch, which
-    # shards over a mesh time axis): device memory stays at one window
-    # regardless of video length, and each window's SR streams back to
-    # the host as the next one computes. With ``stream`` the forward
-    # recurrence state is carried between windows (exactly equal to a
-    # full-clip forward pass), so only the backward direction restarts
-    # at window boundaries instead of both.
-    _, t, h, w, c = clip.shape
-    pad = (-t) % window_size
-    clip_np = np.asarray(clip)
-    if pad:
-        clip_np = np.concatenate(
-            [clip_np, np.repeat(clip_np[:, -1:], pad, axis=1)], axis=1
-        )
-    t0 = time.time()
-    outs = []
+    # shards over a mesh time axis) and the three stages overlap: a
+    # background thread decodes window i+1, the device computes window i
+    # (dispatch is async), and the host reads back + encodes window i-1 —
+    # one-window lag, so the readback never blocks the next dispatch.
+    # Host AND device memory stay at one window regardless of video
+    # length. With ``stream`` the forward recurrence state is carried
+    # between windows (exactly equal to a full-clip forward pass), so
+    # only the backward direction restarts at window boundaries.
     if stream:
         first, rest = make_stream_forward(model)
-        state = None
-        for i in range(0, clip_np.shape[1], window_size):
-            win = jax.numpy.asarray(clip_np[:, i : i + window_size])
-            sr_win, state = (
-                first(params, win) if state is None
-                else rest(params, win, state)
-            )
-            outs.append(np.asarray(jax.numpy.clip(sr_win[0], 0.0, 1.0)))
-    else:
-        for i in range(0, clip_np.shape[1], window_size):
-            win = jax.numpy.asarray(clip_np[:, i : i + window_size])
-            sr_win = forward(params, win)
-            outs.append(np.asarray(jax.numpy.clip(sr_win[0], 0.0, 1.0)))
-    sr = np.concatenate(outs, axis=0)[:t]
+    sink = (
+        _VideoSink(out, src_fps, codec) if to_video else _FolderSink(out)
+    )
+    t0 = time.time()
+    state = None
+    pending = None  # (device SR array, n_real) — one window behind
+    try:
+        for win_np, n_real in _prefetch(
+            _iter_windows(read_next, window_size)
+        ):
+            win = jax.numpy.asarray(win_np)
+            if stream:
+                sr_win, state = (
+                    first(params, win) if state is None
+                    else rest(params, win, state)
+                )
+            else:
+                sr_win = forward(params, win)
+            sr_dev = jax.numpy.clip(sr_win[0], 0.0, 1.0)  # lazy, on device
+            if pending is not None:
+                prev, k = pending
+                sink.write(np.asarray(prev)[:k])
+            pending = (sr_dev, n_real)
+        if pending is None:
+            raise IOError(f"no frames decoded from {inp}")
+        prev, k = pending
+        sink.write(np.asarray(prev)[:k])
+    finally:
+        sink.close()
+        if reader is not None:
+            reader.close()
     dt = time.time() - t0
-
-    if to_video:
-        out.parent.mkdir(parents=True, exist_ok=True)
-        write_video(out, sr, codec=codec, fps=src_fps)
-    else:
-        import cv2
-
-        out.mkdir(parents=True, exist_ok=True)
-        for i, frame in enumerate(sr):
-            u8 = np.clip(np.rint(frame * 255), 0, 255).astype(np.uint8)
-            cv2.imwrite(str(out / f"img{i:05d}.png"), u8[..., ::-1])
-    return sr.shape, dt
+    return (sink.frames_written,) + tuple(sink.frame_shape), dt
 
 
 def main(argv=None):

@@ -261,6 +261,28 @@ def run(cfg: Config) -> Dict[str, float]:
     }
 
     final_val: Dict[str, float] = {}
+    # exception-safe teardown (reference src/train_gan.py:148-157: cleanup
+    # + wandb.finish on any failure, then re-raise) — matches train.run
+    try:
+        final_val = _gan_loop(
+            cfg, mesh, g_state, d_state, train_dl, val_dl, steps, eval_step,
+            freeze_epochs, logger, ckpt, ema_ckpt, start_epoch,
+        )
+    finally:
+        if logger:
+            logger.close()
+        ckpt.close()
+        if ema_ckpt is not None:
+            ema_ckpt.close()
+    return final_val
+
+
+def _gan_loop(
+    cfg, mesh, g_state, d_state, train_dl, val_dl, steps, eval_step,
+    freeze_epochs, logger, ckpt, ema_ckpt, start_epoch,
+):
+    tcfg = cfg.train
+    final_val: Dict[str, float] = {}
     with mesh:
         g_state = jax.device_put(g_state, replicated(mesh))
         d_state = jax.device_put(d_state, replicated(mesh))
@@ -314,11 +336,6 @@ def run(cfg: Config) -> Dict[str, float]:
             if ema_ckpt is not None:
                 ema_ckpt.save(epoch, jax.device_get(g_state.ema_params))
 
-    if logger:
-        logger.close()
-    ckpt.close()
-    if ema_ckpt is not None:
-        ema_ckpt.close()
     return final_val
 
 
