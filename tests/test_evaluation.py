@@ -226,6 +226,68 @@ class TestUpscaleCLI:
         img = cv2.imread(str(pngs[0]))
         assert img.shape == (64, 64, 3)
 
+    def test_iter_windows_pads_short_tail(self):
+        """A short final read is padded by repeating the last frame, and
+        n_real reports the true frame count."""
+        from vsrlab_tpu.evaluation.upscale import _iter_windows
+
+        frames = np.arange(5, dtype=np.float32).reshape(5, 1, 1, 1)
+        frames = np.broadcast_to(frames, (5, 2, 2, 3)).copy()
+        pos = 0
+
+        def read_next(n):
+            nonlocal pos
+            batch = frames[pos : pos + n]
+            pos += len(batch)
+            return batch
+
+        wins = list(_iter_windows(read_next, 3))
+        assert [k for _, k in wins] == [3, 2]
+        assert wins[0][0].shape == (1, 3, 2, 2, 3)
+        # tail window: frames 3, 4, then 4 repeated
+        np.testing.assert_array_equal(
+            wins[1][0][0, :, 0, 0, 0], [3.0, 4.0, 4.0]
+        )
+
+    def test_prefetch_propagates_errors_and_order(self):
+        """The decode thread's exception surfaces to the consumer; items
+        arrive in order."""
+        from vsrlab_tpu.evaluation.upscale import _prefetch
+
+        assert list(_prefetch(iter(range(7)))) == list(range(7))
+
+        def boom():
+            yield 1
+            raise IOError("decode failed")
+
+        it = _prefetch(boom())
+        assert next(it) == 1
+        with pytest.raises(IOError, match="decode failed"):
+            list(it)
+
+    def test_sequential_reader_matches_read_video(self, tmp_path, rng):
+        """SequentialVideoReader window-by-window == read_video all-at-once."""
+        from vsrlab_tpu.data.video_io import (
+            SequentialVideoReader,
+            read_video,
+            write_video,
+        )
+
+        src = tmp_path / "seq.mp4"
+        write_video(src, rng.random((7, 16, 16, 3)).astype(np.float32), fps=12)
+        whole, _, fps, h, w = read_video(src)
+
+        r = SequentialVideoReader(src)
+        assert (r.height, r.width) == (h, w) and abs(r.fps - fps) < 1e-6
+        parts = []
+        while True:
+            chunk = r.read(3)
+            if len(chunk) == 0:
+                break
+            parts.append(chunk)
+        r.close()
+        np.testing.assert_array_equal(np.concatenate(parts), whole)
+
 
 class TestParamsBench:
     def test_speed_bench(self, run_dir):

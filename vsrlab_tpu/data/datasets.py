@@ -260,6 +260,7 @@ class SyntheticVSR:
         lr_augmentation: Optional[Sequence] = None,
         seed: int = 0,
         split: str = "train",
+        freq_max: float = 0.2,
         **_,
     ):
         self.n = num_videos
@@ -268,6 +269,10 @@ class SyntheticVSR:
         self.scale = scale
         self.lr_aug = build_pipeline(lr_augmentation)
         self.seed = seed + (1000 if split == "val" else 0)
+        # default 0.2 exceeds the 4x-LR Nyquist (1/(2*scale)=0.125), so some
+        # clips carry aliased, unrecoverable gratings — fine for smoke tests;
+        # learning demos should band-limit (e.g. 0.11) so SR is learnable
+        self.freq_max = freq_max
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -280,7 +285,7 @@ class SyntheticVSR:
         rng = np.random.default_rng((self.seed, index))
         t, h, w = self.seq, self.h, self.w
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-        fx, fy = rng.uniform(0.02, 0.2, 2)
+        fx, fy = rng.uniform(0.02, self.freq_max, 2)
         phase = rng.uniform(0, 2 * np.pi, 3)
         vx, vy = rng.uniform(-2, 2, 2)
         frames = []
