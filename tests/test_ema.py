@@ -172,9 +172,13 @@ def test_load_test_model_serves_aligned_ema(tmp_path):
     )
 
 
-def test_restore_ema_falls_back_to_latest_key(tmp_path):
+def test_restore_ema_falls_back_to_nearest_older_key(tmp_path):
     """A crash between the paired main/ema saves must not discard the
-    averaging history: the sidecar's latest key is used with a warning."""
+    averaging history: the sidecar's nearest key ≤ the requested one is
+    used with a warning — but a NEWER-only sidecar must raise rather
+    than silently pair old weights with a later average."""
+    import pytest
+
     from vsrlab_tpu.train.train import _load_ema_params
 
     _, state = tiny_state()
@@ -187,6 +191,12 @@ def test_restore_ema_falls_back_to_latest_key(tmp_path):
         ),
         loaded, doubled,
     )
+
+    d2 = _fake_run_dir(
+        tmp_path / "newer", state.params, main_keys=[0, 5], ema_keys=[5]
+    )
+    with pytest.raises(FileNotFoundError, match="newer"):
+        _load_ema_params(d2, 0, state.params)  # only key 5 > 0 exists
 
 
 def test_gan_step_ema(rng):

@@ -265,6 +265,28 @@ class TestUpscaleCLI:
         with pytest.raises(IOError, match="decode failed"):
             list(it)
 
+    def test_prefetch_close_stops_worker(self):
+        """Closing the prefetch generator joins the decode thread, so the
+        caller can safely release the underlying source (e.g. a cv2
+        capture) — no reads happen after close() returns."""
+        import time as _time
+
+        from vsrlab_tpu.evaluation.upscale import _prefetch
+
+        reads = []
+
+        def slow_source():
+            for i in range(1000):
+                reads.append(i)
+                yield i
+
+        it = _prefetch(slow_source(), depth=1)
+        assert next(it) == 0
+        it.close()  # must stop + join the worker
+        n = len(reads)
+        _time.sleep(0.2)
+        assert len(reads) == n  # nothing read after close returned
+
     def test_sequential_reader_matches_read_video(self, tmp_path, rng):
         """SequentialVideoReader window-by-window == read_video all-at-once."""
         from vsrlab_tpu.data.video_io import (

@@ -83,7 +83,7 @@ def read_video_window(path, start: int, count: int) -> np.ndarray:
         if not frames:
             raise IOError(f"no frames at {start}..{start + count} in {path}")
         # short read at EOF (header frame counts can over-report by a
-        # frame on some containers): reflect-pad the tail
+        # frame on some containers): repeat the last frame
         while len(frames) < count:
             frames.append(frames[-1])
     return np.stack(frames)

@@ -6,10 +6,13 @@ directory trees): point this at one video file (or frame folder) and a
 trained run directory, get the upscaled video (or PNG frames) out.
 
 Composes the tested building blocks: checkpoint+config reload
-(`harness.load_test_model`), windowed long-clip inference
-(`harness.windowed_inference` — reference src/test.py:124-135), and the
-official-VRT spatial tiling for inputs whose single-pass footprint
-exceeds HBM (`tiled.tiled_forward`).
+(`harness.load_test_model`), per-window forwards (`harness.make_forward`,
+which applies the official-VRT spatial tiling when ``--tile`` is set) or
+the stateful streaming pair (`harness.make_stream_forward`), fed by a
+pipelined decode→compute→encode loop (`SequentialVideoReader`,
+`_iter_windows`, `_prefetch`) that holds one window of frames at a time —
+the windowing protocol of reference src/test.py:124-135 at O(window)
+memory for arbitrarily long videos.
 
 Usage::
 
@@ -51,26 +54,50 @@ def _iter_windows(read_next, window_size: int):
 def _prefetch(gen, depth: int = 1):
     """Run a generator in a daemon thread with a bounded queue, so the
     NEXT window decodes while the device computes the current one (cv2
-    decode releases the GIL)."""
+    decode releases the GIL).
+
+    Closing the returned generator (or abandoning it on an exception)
+    stops the worker and joins it BEFORE returning, so the caller may
+    safely release resources the source generator reads from (e.g. the
+    open cv2 capture) — releasing a capture while a worker thread sits
+    inside ``read()`` is a native-level race."""
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     _END = object()
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.05)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(_END)
         except BaseException as e:  # surface decode errors to the consumer
             q.put(e)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while t.is_alive():  # drain so a blocked put() can observe stop
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(0.05)
 
 
 class _VideoSink:
@@ -161,6 +188,24 @@ def upscale(
             "PNG frames"
         )
 
+    model, params, _cfg = load_test_model(cfg_dir)
+    if align_chunks and hasattr(model, "align_chunks"):
+        # memory knob for single-pass large inputs (VRT family only):
+        # chunked parallel-warping alignment, numerically identical
+        # (docs/tpu_kernel_notes.md perf pass V) — lets e.g. full VRT at
+        # 16x256x256 run single-pass (1.9 fps) instead of tiled (1.1)
+        model = model.clone(align_chunks=align_chunks)
+    if stream and not hasattr(model, "fuse_directions"):
+        raise ValueError(
+            "--stream needs a recurrent model (BasicVSR family); "
+            f"{type(model).__name__} has no propagation state to carry"
+        )
+    if stream and tile:
+        raise ValueError("--stream and --tile are mutually exclusive")
+    forward = None if stream else make_forward(model, tile, tile_overlap)
+
+    # open the input only after every validation that can raise, so an
+    # invalid flag combination doesn't leak the native decoder context
     inp = Path(input_path)
     reader = None
     if inp.is_dir():
@@ -181,23 +226,9 @@ def upscale(
     else:
         reader = SequentialVideoReader(inp)
         read_next = reader.read
-        src_fps = fps or reader.fps
-
-    model, params, _cfg = load_test_model(cfg_dir)
-    if align_chunks and hasattr(model, "align_chunks"):
-        # memory knob for single-pass large inputs (VRT family only):
-        # chunked parallel-warping alignment, numerically identical
-        # (docs/tpu_kernel_notes.md perf pass V) — lets e.g. full VRT at
-        # 16x256x256 run single-pass (1.9 fps) instead of tiled (1.1)
-        model = model.clone(align_chunks=align_chunks)
-    if stream and not hasattr(model, "fuse_directions"):
-        raise ValueError(
-            "--stream needs a recurrent model (BasicVSR family); "
-            f"{type(model).__name__} has no propagation state to carry"
-        )
-    if stream and tile:
-        raise ValueError("--stream and --tile are mutually exclusive")
-    forward = None if stream else make_forward(model, tile, tile_overlap)
+        # some containers carry no fps metadata (cv2 reports 0.0) — fall
+        # back like the frame-folder path so the encoder can still open
+        src_fps = fps or reader.fps or 24.0
 
     # windows run SEQUENTIALLY (unlike the harness's stacked batch, which
     # shards over a mesh time axis) and the three stages overlap: a
@@ -216,10 +247,9 @@ def upscale(
     t0 = time.time()
     state = None
     pending = None  # (device SR array, n_real) — one window behind
+    windows = _prefetch(_iter_windows(read_next, window_size))
     try:
-        for win_np, n_real in _prefetch(
-            _iter_windows(read_next, window_size)
-        ):
+        for win_np, n_real in windows:
             win = jax.numpy.asarray(win_np)
             if stream:
                 sr_win, state = (
@@ -238,6 +268,7 @@ def upscale(
         prev, k = pending
         sink.write(np.asarray(prev)[:k])
     finally:
+        windows.close()  # join the decode thread BEFORE releasing the reader
         sink.close()
         if reader is not None:
             reader.close()

@@ -44,6 +44,12 @@ def deform_conv2d(
 
     Returns:
       ``(N, Ho, Wo, Cout)``.
+
+    Precision contract: sampling and modulation run in ``x.dtype`` (a
+    wider mask is rounded DOWN to it — mask ∈ [0, 1], so bf16 rounding
+    is ≤ ~0.4% per tap); only the tap matmul accumulates in fp32. This
+    is the measured input-dtype fast path (docs/tpu_kernel_notes.md) —
+    pass fp32 features to trade speed for full-precision modulation.
     """
     n, h, w, cin = x.shape
     kh, kw, wc_in, cout = weight.shape

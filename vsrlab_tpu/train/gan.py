@@ -245,9 +245,15 @@ def run(cfg: Config) -> Dict[str, float]:
     freeze_epochs = int(tcfg.get("freeze_epochs", -1))
 
     logger = build_logger(tcfg.get("logger")) if process_index() == 0 else None
-    ckpt = CheckpointManager(tcfg.get("checkpoint_dir", "./checkpoints"))
+    keep = int(tcfg.get("checkpoint_max_to_keep", 3))
+    ckpt = CheckpointManager(
+        tcfg.get("checkpoint_dir", "./checkpoints"), max_to_keep=keep
+    )
     ema_ckpt = (
-        CheckpointManager(str(ckpt.directory / "ema")) if ema_decay else None
+        # same retention as the main manager — mismatched pruning would
+        # desync the paired main/ema keys load_test_model aligns on
+        CheckpointManager(str(ckpt.directory / "ema"), max_to_keep=keep)
+        if ema_decay else None
     )
     metric_names = metrics_from_config(tcfg)
     eval_step = make_eval_step(model, metrics=metric_names)

@@ -54,7 +54,12 @@ def create_train_state(
         params=params,
         batch_stats=variables.get("batch_stats"),
         # a REAL copy — aliasing the params buffers would break the
-        # donated train step (the same buffer can't be donated twice)
-        ema_params=jax.tree.map(jnp.copy, params) if ema_decay else None,
+        # donated train step (the same buffer can't be donated twice);
+        # one jitted program, not per-leaf eager dispatches (the axon
+        # tunnel makes per-op dispatch pathologically slow)
+        ema_params=(
+            jax.jit(lambda p: jax.tree.map(jnp.copy, p))(params)
+            if ema_decay else None
+        ),
         tx=tx,
     )

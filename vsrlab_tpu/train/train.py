@@ -57,9 +57,13 @@ def _load_ema_params(restore_dir: str, key: int, template):
     ``key``. Raises FileNotFoundError when the run kept no EMA at all.
 
     When the sidecar exists but lacks ``key`` (a crash in the window
-    between the paired main/ema saves), falls back to the sidecar's
-    LATEST key with a loud warning — discarding the whole averaging
-    history over a one-key lag would be far worse."""
+    between the paired main/ema saves), falls back to the NEAREST key
+    ≤ ``key`` with a loud warning — discarding the whole averaging
+    history over a one-key lag would be far worse. A shadow from a
+    NEWER point than the restored weights is never silently paired
+    (that would fine-tune step-K weights with a later average); if the
+    sidecar only has newer keys, raises FileNotFoundError so the caller
+    seeds from the restored weights instead."""
     from pathlib import Path
 
     ema_dir = Path(restore_dir) / "ema"
@@ -70,12 +74,19 @@ def _load_ema_params(restore_dir: str, key: int, template):
         keys = mgr.all_keys()
         if not keys:
             raise FileNotFoundError(f"empty EMA sidecar under {restore_dir}")
-        use = key if key in keys else keys[-1]
+        older = [k for k in keys if k <= key]
+        if not older:
+            raise FileNotFoundError(
+                f"{ema_dir} only has keys newer than {key} "
+                f"({keys}) — refusing to pair step-{key} weights with a "
+                "later average"
+            )
+        use = older[-1]
         if use != key:
             print(
                 f"WARNING: {ema_dir} has no checkpoint @ key {key} "
-                f"(interrupted between paired saves?) — using its latest "
-                f"key {use} instead"
+                f"(interrupted between paired saves?) — using its nearest "
+                f"older key {use} instead"
             )
         _, payload = mgr.restore(epoch=use, template={"params": template})
     finally:
@@ -97,9 +108,12 @@ def _restore_ema(state, restore_dir: str, key: int):
             "shadow from the restored weights"
         )
         # REAL copies: aliasing params would double-donate buffers in the
-        # donated train step
+        # donated train step; jitted so it's one program, not per-leaf
+        # eager dispatches through the device tunnel
         return state.replace(
-            ema_params=jax.tree.map(jnp.copy, state.params)
+            ema_params=jax.jit(lambda p: jax.tree.map(jnp.copy, p))(
+                state.params
+            )
         )
 
 
