@@ -251,6 +251,12 @@ class TestDatasets:
                 )
             )
 
+        # a bare string (YAML scalar `metrics: PSNR`) must mean ONE
+        # metric, not tuple-ize into characters ('P', 'S', 'N', 'R')
+        from vsrlab_tpu.core.metrics import resolve_metric_names
+
+        assert resolve_metric_names("PSNR") == ("PSNR",)
+
     def test_loader_batches_and_sharding(self):
         ds = SyntheticVSR(num_videos=8, seq=2, height=16, width=16, scale=4)
         dl = DataLoader(ds, batch_size=4, num_workers=2, seed=0)

@@ -25,6 +25,20 @@ class TestVideoIO:
         # lossy but recognisable
         assert np.abs(back - frames).mean() < 0.2
 
+    def test_read_window_past_end_walks_back(self, tmp_path, rng):
+        """Container headers can over-report frame counts (VFR/estimated
+        index), so a sampled window may seek past the last decodable
+        frame: the reader must walk back toward 0 and return real frames
+        instead of crashing the training run."""
+        from vsrlab_tpu.data.video_io import read_video_window
+
+        frames = rng.random((6, 32, 48, 3)).astype(np.float32)
+        path = tmp_path / "v.mp4"
+        write_video(path, frames, fps=12, crf=10)
+        out = read_video_window(path, start=50, count=3)  # way past EOF
+        assert out.shape == (3, 32, 48, 3)
+        assert np.isfinite(out).all()
+
     def test_compress_video_folder(self, tmp_path, rng):
         hr = tmp_path / "hr"
         hr.mkdir()

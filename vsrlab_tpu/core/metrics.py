@@ -164,6 +164,10 @@ def resolve_metric_names(names) -> tuple:
     """Validate a sequence of builtin metric names up-front (so a config
     typo fails at build time with the list of valid names, not at trace
     time — or minutes into an eval sweep — with a bare KeyError)."""
+    if isinstance(names, str):
+        # a YAML scalar (`metrics: PSNR`) or bare-string call would
+        # otherwise tuple-ize into characters -> "unknown metric 'P'"
+        names = (names,)
     names = tuple(names)
     unknown = [n for n in names if n not in MetricCollection.BUILTIN]
     if unknown:

@@ -77,8 +77,9 @@ class DatasetVSR:
         hr_augmentation: Optional[Sequence] = None,
         lr_augmentation: Optional[Sequence] = None,
         seed: int = 0,
+        **_,
     ):
-        self.videos = sorted(p for p in Path(path).glob("*") if p.is_dir())
+        self.videos = self._list_videos(path)
         split_point = int(len(self.videos) * train_size)
         if split == "train":
             self.videos = self.videos[:split_point]
@@ -90,6 +91,16 @@ class DatasetVSR:
         self.lr_aug = build_pipeline(lr_augmentation)
         self.seed = seed
         self._epoch = 0
+
+    def _list_videos(self, path):
+        """One entry per video; subclasses override the storage layout."""
+        return sorted(p for p in Path(path).glob("*") if p.is_dir())
+
+    def _read_window(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        """A random ``seq``-frame HR window of video ``index``."""
+        frames = sorted(x for x in self.videos[index].glob("*") if x.is_file())
+        start = int(rng.integers(0, max(len(frames) - self.seq, 0) + 1))
+        return load_clip(frames[start : start + self.seq])
 
     def set_epoch(self, epoch: int):
         """Reseed per-epoch randomness (window choice, augment severity)."""
@@ -103,9 +114,7 @@ class DatasetVSR:
 
     def __getitem__(self, index: int):
         rng = self._rng(index)
-        frames = sorted(x for x in self.videos[index].glob("*") if x.is_file())
-        start = int(rng.integers(0, max(len(frames) - self.seq, 0) + 1))
-        hr = load_clip(frames[start : start + self.seq])
+        hr = self._read_window(index, rng)
 
         if self.hr_aug:
             hr = self.hr_aug(hr, rng)
@@ -169,54 +178,30 @@ class ValDatasetVSR:
         return lr, hr
 
 
-class VideoDatasetVSR:
+class VideoDatasetVSR(DatasetVSR):
     """Folder-of-video-FILES dataset: train straight from .mp4/.avi.
 
     Beyond the reference, whose ``DatasetVSR`` requires pre-extracted
     frame folders (src/vsr/dataset.py:16-65) — real deployment data
-    usually arrives as encoded files. Same contract: random ``seq``-frame
-    window, HR augmentation pipeline, LR = degradation pipeline or
-    bicubic ÷scale. Only the sampled window is decoded
-    (``video_io.read_video_window`` container seek, not a full decode).
+    usually arrives as encoded files. Same contract (split, per-epoch
+    rng, augment pipelines, bicubic-LR fallback — all inherited); only
+    the storage layout differs: one encoded FILE per video, and only the
+    sampled window is decoded (``video_io.read_video_window`` container
+    seek, not a full decode).
     """
 
     EXTS = {".mp4", ".avi", ".mkv", ".mov", ".webm"}
 
-    def __init__(
-        self,
-        path: str,
-        split: str = "train",
-        seq: int = 6,
-        train_size: float = 0.8,
-        scale: int = 4,
-        hr_augmentation: Optional[Sequence] = None,
-        lr_augmentation: Optional[Sequence] = None,
-        seed: int = 0,
-        **_,
-    ):
-        self.videos = sorted(
+    def __init__(self, *args, **kwargs):
+        self._counts: dict = {}
+        super().__init__(*args, **kwargs)
+
+    def _list_videos(self, path):
+        return sorted(
             p
             for p in Path(path).glob("*")
             if p.is_file() and p.suffix.lower() in self.EXTS
         )
-        split_point = int(len(self.videos) * train_size)
-        if split == "train":
-            self.videos = self.videos[:split_point]
-        elif split == "val":
-            self.videos = self.videos[split_point:]
-        self.seq = seq
-        self.scale = scale
-        self.hr_aug = build_pipeline(hr_augmentation)
-        self.lr_aug = build_pipeline(lr_augmentation)
-        self.seed = seed
-        self._epoch = 0
-        self._counts: dict = {}
-
-    def set_epoch(self, epoch: int):
-        self._epoch = epoch
-
-    def __len__(self) -> int:
-        return len(self.videos)
 
     def _count(self, path) -> int:
         from vsrlab_tpu.data.video_io import video_frame_count
@@ -225,22 +210,13 @@ class VideoDatasetVSR:
             self._counts[path] = video_frame_count(path)
         return self._counts[path]
 
-    def __getitem__(self, index: int):
+    def _read_window(self, index: int, rng: np.random.Generator) -> np.ndarray:
         from vsrlab_tpu.data.video_io import read_video_window
 
-        rng = np.random.default_rng((self.seed, self._epoch, index))
         path = self.videos[index]
         n = self._count(path)
         start = int(rng.integers(0, max(n - self.seq, 0) + 1))
-        hr = read_video_window(path, start, self.seq)
-
-        if self.hr_aug:
-            hr = self.hr_aug(hr, rng)
-        if self.lr_aug:
-            lr = self.lr_aug(hr, rng)
-        else:
-            lr = _bicubic_down(hr, self.scale)
-        return lr, hr
+        return read_video_window(path, start, self.seq)
 
 
 class SyntheticVSR:

@@ -70,20 +70,30 @@ def read_video_window(path, start: int, count: int) -> np.ndarray:
     cap = cv2.VideoCapture(str(path))
     if not cap.isOpened():
         raise IOError(f"not a video: {path}")
-    if start:
-        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
-    frames: List[np.ndarray] = []
-    for _ in range(count):
-        ok, img = cap.read()
-        if not ok:
-            break
-        frames.append(img[..., ::-1].astype(np.float32) / 255.0)
-    cap.release()
+    try:
+        s = int(start)
+        while True:
+            if s:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, s)
+            frames: List[np.ndarray] = []
+            for _ in range(count):
+                ok, img = cap.read()
+                if not ok:
+                    break
+                frames.append(img[..., ::-1].astype(np.float32) / 255.0)
+            if frames or s == 0:
+                break
+            # header frame counts can over-report (VFR/estimated-index
+            # containers), so a sampled tail window may land past the
+            # last decodable frame: walk the seek back toward 0 instead
+            # of killing the training run over one unlucky draw
+            s //= 2
+    finally:
+        cap.release()
     if len(frames) < count:
         if not frames:
-            raise IOError(f"no frames at {start}..{start + count} in {path}")
-        # short read at EOF (header frame counts can over-report by a
-        # frame on some containers): repeat the last frame
+            raise IOError(f"no decodable frames in {path}")
+        # short read at EOF: repeat the last frame
         while len(frames) < count:
             frames.append(frames[-1])
     return np.stack(frames)

@@ -56,9 +56,6 @@ def export_model(
     model, params, _cfg = load_test_model(cfg_dir, use_ema=use_ema)
     if align_chunks and hasattr(model, "align_chunks"):
         model = model.clone(align_chunks=align_chunks)
-    # orbax template-less restores yield numpy leaves; bake jnp arrays so
-    # every op sees device constants under the export trace
-    params = jax.tree.map(jnp.asarray, params)
 
     # weights baked as constants -> self-contained artifact
     def forward(clip):

@@ -45,6 +45,7 @@ def load_test_model(cfg_dir: str, use_ema: bool = True):
     model = build_model(cfg.train.model, cfg.train.get("precision", "fp32"))
     mgr = CheckpointManager(cfg_dir)
     key = mgr.latest_epoch()
+    params = None
     ema_dir = Path(cfg_dir) / "ema"
     if use_ema and ema_dir.is_dir():
         # serve the shadow ONLY when it is aligned with the latest main
@@ -54,19 +55,24 @@ def load_test_model(cfg_dir: str, use_ema: bool = True):
         ema_mgr = CheckpointManager(str(ema_dir))
         if ema_mgr.latest_epoch() == key:
             _, payload = ema_mgr.restore()
-            ema_mgr.close()
-            mgr.close()
+            params = payload["params"]
             print(f"serving EMA weights from {ema_dir} @ key {key}")
-            return model, payload["params"], cfg
-        print(
-            f"WARNING: {ema_dir} latest key {ema_mgr.latest_epoch()} != "
-            f"main checkpoint key {key} — serving RAW weights (stale or "
-            "partial EMA sidecar)"
-        )
+        else:
+            print(
+                f"WARNING: {ema_dir} latest key {ema_mgr.latest_epoch()} != "
+                f"main checkpoint key {key} — serving RAW weights (stale or "
+                "partial EMA sidecar)"
+            )
         ema_mgr.close()
-    _, payload = mgr.restore()
+    if params is None:
+        _, payload = mgr.restore()
+        params = payload["params"]
     mgr.close()
-    return model, payload["params"], cfg
+    # template-less orbax restores yield NUMPY leaves; upload once here
+    # (one batched transfer) or every jitted call re-sends the full
+    # weight set host->device per window/video — for full VRT that is
+    # ~123 MB through the tunnel per 10-frame window
+    return model, jax.device_put(params), cfg
 
 
 def get_video(path, pool=None) -> np.ndarray:
@@ -205,6 +211,7 @@ def run_test_matrix(
     tile: Optional[int] = None,
     tile_overlap: int = 16,
     align_chunks: int = 0,
+    use_ema: bool = True,
 ) -> "pandas.DataFrame":
     """Full fps×crf evaluation sweep (reference src/test.py:94-155).
 
@@ -227,7 +234,7 @@ def run_test_matrix(
     except ImportError:
         cv2 = None
 
-    model, params, _cfg = load_test_model(cfg_dir)
+    model, params, _cfg = load_test_model(cfg_dir, use_ema=use_ema)
     if align_chunks and hasattr(model, "align_chunks"):
         model = model.clone(align_chunks=align_chunks)
     forward = make_forward(model, tile, tile_overlap)
@@ -338,11 +345,17 @@ def main(argv=None):
         help="VRT memory knob: chunked parallel-warping alignment — "
         "fits large windows single-pass at identical numerics",
     )
+    ap.add_argument(
+        "--raw-weights", action="store_true",
+        help="serve the raw (non-EMA) weights even when the run kept an "
+        "EMA shadow — for comparisons against pre-EMA metrics",
+    )
     args = ap.parse_args(argv)
     df = run_test_matrix(
         args.cfg_dir, args.lr_dir, args.hr_dir, args.out_dir,
         args.window_size, tile=args.tile or None,
         tile_overlap=args.tile_overlap, align_chunks=args.align_chunks,
+        use_ema=not args.raw_weights,
     )
     print(df)
 

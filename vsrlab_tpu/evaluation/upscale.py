@@ -163,6 +163,7 @@ def upscale(
     codec: str = "mp4v",
     align_chunks: int = 0,
     stream: bool = False,
+    use_ema: bool = True,
 ) -> tuple:
     """Upscale one video file or frame folder. Returns (out_shape, seconds).
 
@@ -188,7 +189,7 @@ def upscale(
             "PNG frames"
         )
 
-    model, params, _cfg = load_test_model(cfg_dir)
+    model, params, _cfg = load_test_model(cfg_dir, use_ema=use_ema)
     if align_chunks and hasattr(model, "align_chunks"):
         # memory knob for single-pass large inputs (VRT family only):
         # chunked parallel-warping alignment, numerically identical
@@ -306,12 +307,17 @@ def main(argv=None):
         "(BasicVSR family): temporal continuity of a full-clip run at "
         "one-window memory, instead of resetting per window",
     )
+    ap.add_argument(
+        "--raw-weights", action="store_true",
+        help="serve the raw (non-EMA) weights even when the run kept an "
+        "EMA shadow — for comparisons against pre-EMA outputs",
+    )
     args = ap.parse_args(argv)
 
     shape, dt = upscale(
         args.cfg_dir, args.input, args.output, args.window_size,
         args.tile, args.tile_overlap, args.fps, args.codec,
-        args.align_chunks, args.stream,
+        args.align_chunks, args.stream, use_ema=not args.raw_weights,
     )
     print(f"wrote {args.output}: {shape} in {dt:.1f}s "
           f"({shape[0] / max(dt, 1e-9):.2f} frames/s)")

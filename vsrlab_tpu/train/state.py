@@ -19,6 +19,14 @@ import optax
 from flax.training import train_state
 
 
+def copy_params(params):
+    """A REAL copy of a param tree — aliasing the buffers would break the
+    donated train step (the same buffer can't be donated twice). Jitted
+    so it's one program, not per-leaf eager dispatches (the axon tunnel
+    makes per-op dispatch pathologically slow)."""
+    return jax.jit(lambda p: jax.tree.map(jnp.copy, p))(params)
+
+
 class TrainState(train_state.TrainState):
     """TrainState with a mutable-collections slot (spectral-norm power
     iteration state lives in ``batch_stats``) and an optional
@@ -53,13 +61,6 @@ def create_train_state(
         apply_fn=model.apply,
         params=params,
         batch_stats=variables.get("batch_stats"),
-        # a REAL copy — aliasing the params buffers would break the
-        # donated train step (the same buffer can't be donated twice);
-        # one jitted program, not per-leaf eager dispatches (the axon
-        # tunnel makes per-op dispatch pathologically slow)
-        ema_params=(
-            jax.jit(lambda p: jax.tree.map(jnp.copy, p))(params)
-            if ema_decay else None
-        ),
+        ema_params=copy_params(params) if ema_decay else None,
         tx=tx,
     )

@@ -107,14 +107,9 @@ def _restore_ema(state, restore_dir: str, key: int):
             f"note: no EMA sidecar under {restore_dir} — seeding the EMA "
             "shadow from the restored weights"
         )
-        # REAL copies: aliasing params would double-donate buffers in the
-        # donated train step; jitted so it's one program, not per-leaf
-        # eager dispatches through the device tunnel
-        return state.replace(
-            ema_params=jax.jit(lambda p: jax.tree.map(jnp.copy, p))(
-                state.params
-            )
-        )
+        from vsrlab_tpu.train.state import copy_params
+
+        return state.replace(ema_params=copy_params(state.params))
 
 
 def restore_state(
