@@ -77,17 +77,24 @@ def export_model(
     return len(blob)
 
 
-def load_exported(path: str):
-    """Deserialize an exported artifact into ``forward(clip) -> sr``.
+def load_exported_forward(path: str):
+    """Deserialize an exported artifact into ``(forward, input_aval)``.
 
-    The input shape is fixed at export time; calls go through
-    ``exported.call`` (re-jitted internally, so repeated calls reuse the
-    compiled executable).
-    """
+    ``input_aval`` is the fixed input spec the graph was lowered at
+    (shape ``(batch, window, H, W, 3)`` + dtype) — callers use it to
+    validate/window their input. Calls go through ``exported.call``
+    (re-jitted internally, so repeated calls reuse the compiled
+    executable)."""
     from jax import export as jax_export
 
     exported = jax_export.deserialize(Path(path).read_bytes())
-    return jax.jit(exported.call)
+    return jax.jit(exported.call), exported.in_avals[0]
+
+
+def load_exported(path: str):
+    """Deserialize an exported artifact into ``forward(clip) -> sr``
+    (input shape fixed at export time)."""
+    return load_exported_forward(path)[0]
 
 
 def main(argv=None):

@@ -19,7 +19,11 @@ Usage::
     python -m vsrlab_tpu.evaluation.upscale \
         --cfg-dir <run-dir> --input clip.mp4 --output clip_4x.mp4 \
         [--window-size 10] [--tile 0] [--tile-overlap 16] [--fps auto] \
-        [--align-chunks 0] [--stream]
+        [--align-chunks 0] [--stream] [--raw-weights]
+
+    # or serve a self-contained AOT artifact (no model code/checkpoint):
+    python -m vsrlab_tpu.evaluation.upscale \
+        --artifact model.jaxexp --input clip.mp4 --output clip_4x.mp4
 """
 
 from __future__ import annotations
@@ -164,6 +168,7 @@ def upscale(
     align_chunks: int = 0,
     stream: bool = False,
     use_ema: bool = True,
+    artifact: str = "",
 ) -> tuple:
     """Upscale one video file or frame folder. Returns (out_shape, seconds).
 
@@ -189,21 +194,53 @@ def upscale(
             "PNG frames"
         )
 
-    model, params, _cfg = load_test_model(cfg_dir, use_ema=use_ema)
-    if align_chunks and hasattr(model, "align_chunks"):
-        # memory knob for single-pass large inputs (VRT family only):
-        # chunked parallel-warping alignment, numerically identical
-        # (docs/tpu_kernel_notes.md perf pass V) — lets e.g. full VRT at
-        # 16x256x256 run single-pass (1.9 fps) instead of tiled (1.1)
-        model = model.clone(align_chunks=align_chunks)
-    if stream and not hasattr(model, "fuse_directions"):
-        raise ValueError(
-            "--stream needs a recurrent model (BasicVSR family); "
-            f"{type(model).__name__} has no propagation state to carry"
-        )
-    if stream and tile:
-        raise ValueError("--stream and --tile are mutually exclusive")
-    forward = None if stream else make_forward(model, tile, tile_overlap)
+    expect_hw = None
+    if artifact:
+        # serve a self-contained AOT artifact (evaluation/export.py):
+        # fixed-shape StableHLO graph with the weights baked in — no
+        # model code, config snapshot, or checkpoint needed
+        if stream or tile or align_chunks:
+            raise ValueError(
+                "--artifact serves a fixed-shape AOT graph; --stream/"
+                "--tile/--align-chunks need the model code (use --cfg-dir)"
+            )
+        from vsrlab_tpu.evaluation.export import load_exported_forward
+
+        aot_fwd, in_aval = load_exported_forward(artifact)
+        if in_aval.shape[0] != 1:
+            raise ValueError(
+                f"artifact was exported at batch={in_aval.shape[0]}; the "
+                "upscale loop feeds single-clip windows (re-export with "
+                "--batch 1)"
+            )
+        if window_size != in_aval.shape[1]:
+            print(
+                f"note: window size is fixed at export time — using the "
+                f"artifact's {in_aval.shape[1]} (not {window_size})"
+            )
+            window_size = int(in_aval.shape[1])
+        expect_hw = (int(in_aval.shape[2]), int(in_aval.shape[3]))
+        params = None
+
+        def forward(_params, clip):
+            return aot_fwd(clip.astype(in_aval.dtype))
+
+    else:
+        model, params, _cfg = load_test_model(cfg_dir, use_ema=use_ema)
+        if align_chunks and hasattr(model, "align_chunks"):
+            # memory knob for single-pass large inputs (VRT family only):
+            # chunked parallel-warping alignment, numerically identical
+            # (docs/tpu_kernel_notes.md perf pass V) — lets e.g. full VRT
+            # at 16x256x256 run single-pass (1.9 fps) instead of tiled (1.1)
+            model = model.clone(align_chunks=align_chunks)
+        if stream and not hasattr(model, "fuse_directions"):
+            raise ValueError(
+                "--stream needs a recurrent model (BasicVSR family); "
+                f"{type(model).__name__} has no propagation state to carry"
+            )
+        if stream and tile:
+            raise ValueError("--stream and --tile are mutually exclusive")
+        forward = None if stream else make_forward(model, tile, tile_overlap)
 
     # open the input only after every validation that can raise, so an
     # invalid flag combination doesn't leak the native decoder context
@@ -251,6 +288,12 @@ def upscale(
     windows = _prefetch(_iter_windows(read_next, window_size))
     try:
         for win_np, n_real in windows:
+            if expect_hw and win_np.shape[2:4] != expect_hw:
+                raise ValueError(
+                    f"input frames are {win_np.shape[2]}x{win_np.shape[3]} "
+                    f"but the artifact was exported at "
+                    f"{expect_hw[0]}x{expect_hw[1]} (fixed shape)"
+                )
             win = jax.numpy.asarray(win_np)
             if stream:
                 sr_win, state = (
@@ -281,7 +324,14 @@ def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser(description="video -> video SR")
-    ap.add_argument("--cfg-dir", required=True, help="trained run directory")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--cfg-dir", help="trained run directory")
+    src.add_argument(
+        "--artifact",
+        help="AOT-exported .jaxexp artifact (evaluation/export.py) — "
+        "serves without the model code or checkpoint; window size and "
+        "frame dimensions are fixed at export time",
+    )
     ap.add_argument("--input", required=True, help="video file or frame folder")
     ap.add_argument(
         "--output", required=True,
@@ -318,6 +368,7 @@ def main(argv=None):
         args.cfg_dir, args.input, args.output, args.window_size,
         args.tile, args.tile_overlap, args.fps, args.codec,
         args.align_chunks, args.stream, use_ema=not args.raw_weights,
+        artifact=args.artifact or "",
     )
     print(f"wrote {args.output}: {shape} in {dt:.1f}s "
           f"({shape[0] / max(dt, 1e-9):.2f} frames/s)")
