@@ -112,6 +112,64 @@ class TestShardedTraining:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
+    def test_grad_norm_metric(self, rng):
+        """log_grad_norm adds a finite positive GradNorm without
+        perturbing the update, in both accum modes (and the two modes
+        agree — the norm is of the post-accumulation mean gradient)."""
+        model = tiny_model()
+        batch = make_batch(rng, b=4)
+        tx = optax.sgd(0.1)
+        state = create_train_state(model, jax.random.PRNGKey(0), batch["lr"], tx)
+
+        s_plain, _ = make_supervised_train_step(model, donate=False)(
+            state, batch
+        )
+        s_logged, m1 = make_supervised_train_step(
+            model, donate=False, log_grad_norm=True
+        )(state, batch)
+        _, m2 = make_supervised_train_step(
+            model, donate=False, log_grad_norm=True, num_grad_accum=2
+        )(state, batch)
+
+        assert float(m1["GradNorm"]) > 0 and np.isfinite(float(m1["GradNorm"]))
+        np.testing.assert_allclose(
+            float(m1["GradNorm"]), float(m2["GradNorm"]), rtol=1e-4
+        )
+        for a, b in zip(
+            jax.tree.leaves(s_plain.params), jax.tree.leaves(s_logged.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_skip_nonfinite_guards_update(self, rng):
+        """build_tx(skip_nonfinite=N): a NaN gradient leaves params AND
+        inner optimizer state untouched (the reference's GradScaler.step
+        skip, src/core/utils.py:277); a finite gradient then applies
+        normally; after N consecutive non-finite updates the NaNs
+        propagate so the failure is visible."""
+        import vsrlab_tpu.components  # noqa: F401 — registers "adam"
+        from vsrlab_tpu.train.builders import build_tx
+
+        cfg_opt = {"_target_": "adam", "lr": 1e-2}
+        tx = build_tx(cfg_opt, None, grad_clip=1.0, skip_nonfinite=2)
+        params = {"w": jnp.ones((3,))}
+        opt_state = tx.init(params)
+
+        bad = {"w": jnp.array([1.0, jnp.nan, 1.0])}
+        up, opt_state = tx.update(bad, opt_state, params)
+        np.testing.assert_array_equal(np.asarray(up["w"]), np.zeros(3))
+        assert int(opt_state.notfinite_count) == 1
+
+        good = {"w": jnp.ones((3,))}
+        up, opt_state = tx.update(good, opt_state, params)
+        assert np.isfinite(np.asarray(up["w"])).all()
+        assert np.abs(np.asarray(up["w"])).sum() > 0
+        assert int(opt_state.notfinite_count) == 0  # reset on success
+
+        opt_state = tx.init(params)
+        for _ in range(3):  # exceed max_consecutive_errors=2
+            up, opt_state = tx.update(bad, opt_state, params)
+        assert not np.isfinite(np.asarray(up["w"])).all()
+
     def test_loss_decreases(self, rng):
         """A few steps on a fixed batch must reduce the loss."""
         model = tiny_model()

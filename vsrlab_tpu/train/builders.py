@@ -48,10 +48,19 @@ def build_tx(
     scheduler_cfg=None,
     grad_clip: Optional[float] = None,
     frozen_mask: Optional[Any] = None,
+    skip_nonfinite: int = 0,
 ) -> optax.GradientTransformation:
     """Optimizer config (+ schedule + clip) → one optax chain
     (reference build_optimizer + update_weights,
-    src/core/utils.py:92-123,270-281)."""
+    src/core/utils.py:92-123,270-281).
+
+    ``skip_nonfinite > 0`` wraps the chain in ``optax.apply_if_finite``:
+    updates containing inf/NaN leave params and optimizer state
+    untouched — the TPU-native analogue of the reference's
+    ``GradScaler.step`` skip (src/core/utils.py:277), which the bf16
+    compute path (no loss scaler) otherwise loses. After that many
+    CONSECUTIVE non-finite updates, the update applies anyway so a
+    persistent divergence surfaces instead of silently stalling."""
     name, kw = instantiate(optimizer_cfg)
     lr = float(kw.get("lr", 1e-4))
     schedule = build_schedule(scheduler_cfg, lr)
@@ -76,6 +85,8 @@ def build_tx(
     tx = optax.chain(*parts)
     if frozen_mask is not None:
         tx = optax.masked(tx, frozen_mask)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, int(skip_nonfinite))
     return tx
 
 

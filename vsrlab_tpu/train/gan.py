@@ -200,15 +200,18 @@ def run(cfg: Config) -> Dict[str, float]:
     model = build_model(tcfg.model, tcfg.get("precision", "fp32"))
     discriminator = instantiate(tcfg.discriminator)
 
+    skip_nf = int(tcfg.get("skip_nonfinite", 0) or 0)
     tx_g = build_tx(
         tcfg.optimizer.generator,
         tcfg.get("scheduler", {}).get("generator"),
         tcfg.get("gradient_clip_val"),
+        skip_nonfinite=skip_nf,
     )
     tx_d = build_tx(
         tcfg.optimizer.discriminator,
         tcfg.get("scheduler", {}).get("discriminator"),
         tcfg.get("gradient_clip_val"),
+        skip_nonfinite=skip_nf,
     )
 
     train_dl, val_dl = build_loaders(

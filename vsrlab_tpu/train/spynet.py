@@ -169,7 +169,9 @@ def train_one_level(
     rngk = jax.random.PRNGKey(int(cfg.get("seed_index") or 0) + k)
     params = jax.jit(unit.init)(rngk, jnp.zeros((1, h, w, 8)))["params"]
     tx = build_tx(
-        cfg.train.optimizer, cfg.train.get("scheduler"), cfg.train.get("gradient_clip_val")
+        cfg.train.optimizer, cfg.train.get("scheduler"),
+        cfg.train.get("gradient_clip_val"),
+        skip_nonfinite=int(cfg.train.get("skip_nonfinite", 0) or 0),
     )
     opt_state = tx.init(params)
 

@@ -98,6 +98,7 @@ def make_supervised_train_step(
     donate: bool = True,
     ema_decay: float = 0.0,
     metrics: Tuple[str, ...] = DEFAULT_METRICS,
+    log_grad_norm: bool = False,
 ):
     """Build the jitted supervised train step.
 
@@ -107,7 +108,12 @@ def make_supervised_train_step(
     are scanned sequentially (grad-accum semantics of reference
     update_weights, src/core/utils.py:270-281). ``ema_decay > 0``
     maintains ``state.ema_params`` (create the state with the same decay).
+    ``log_grad_norm`` adds the global gradient norm (post-accumulation,
+    PRE-clip) to the returned metrics as ``GradNorm`` — one extra
+    reduction over params, in-program (no device sync).
     """
+    import optax
+
     metrics = resolve_metric_names(metrics)
 
     def loss_for(params, lr, hr):
@@ -126,6 +132,8 @@ def make_supervised_train_step(
                 state.apply_gradients(grads=grads), ema_decay
             )
             out_metrics = {"Loss": loss}
+            if log_grad_norm:
+                out_metrics["GradNorm"] = optax.global_norm(grads)
             if compute_metrics:
                 out_metrics.update(default_metrics(sr, hr, metrics))
             return new_state, out_metrics
@@ -161,6 +169,8 @@ def make_supervised_train_step(
         grads = jax.tree.map(lambda g: g / num_grad_accum, grads)
         new_state = ema_update(state.apply_gradients(grads=grads), ema_decay)
         out_metrics = {"Loss": loss / num_grad_accum}
+        if log_grad_norm:
+            out_metrics["GradNorm"] = optax.global_norm(grads)
         if compute_metrics:
             out_metrics.update(
                 {k: v / num_grad_accum for k, v in msums.items()}

@@ -200,7 +200,8 @@ def run(cfg: Config) -> Dict[str, float]:
 
     model = build_model(tcfg.model, tcfg.get("precision", "fp32"))
     tx = build_tx(
-        tcfg.optimizer, tcfg.get("scheduler"), tcfg.get("gradient_clip_val")
+        tcfg.optimizer, tcfg.get("scheduler"), tcfg.get("gradient_clip_val"),
+        skip_nonfinite=int(tcfg.get("skip_nonfinite", 0) or 0),
     )
 
     num_grad_acc = int(tcfg.get("num_grad_acc", 1))
@@ -236,6 +237,7 @@ def run(cfg: Config) -> Dict[str, float]:
     train_step = make_supervised_train_step(
         model, num_grad_accum=num_grad_acc, ema_decay=ema_decay,
         metrics=metric_names,
+        log_grad_norm=bool(tcfg.get("log_grad_norm", False)),
     )
     eval_step = make_eval_step(model, metrics=metric_names)
     ema_ckpt = (
