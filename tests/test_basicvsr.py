@@ -65,6 +65,18 @@ class TestBasicVSR:
         assert spynet_norm == 0.0
         assert other_norm > 0.0
 
+    def test_time_unroll_matches_scan(self, rng):
+        """time_unroll fully unrolls the recurrence time-scan; outputs
+        must match the scanned form (same params — unrolling changes
+        loop structure, not math)."""
+        lrs = jnp.asarray(rng.random((1, 10, 8, 8, 3)), jnp.float32)
+        scanned = tiny_basicvsr()  # T=10 > 8: auto keeps the scan
+        unrolled = tiny_basicvsr(time_unroll=10)
+        variables = scanned.init(jax.random.PRNGKey(0), lrs)
+        a = np.asarray(jax.jit(scanned.apply)(variables, lrs))
+        b = np.asarray(jax.jit(unrolled.apply)(variables, lrs))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
     def test_temporal_propagation_reaches_all_frames(self, rng):
         """Perturbing the middle frame must change every output frame
         (bidirectional recurrence carries information both ways)."""

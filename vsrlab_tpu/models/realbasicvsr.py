@@ -32,6 +32,7 @@ class RealBasicVSR(nn.Module):
     remat: bool = False
     fuse_directions: bool = True  # see BasicVSR.fuse_directions
     block_unroll: int = 0
+    time_unroll: int = 0  # see BasicVSR.time_unroll
     dtype: Dtype = None
 
     @nn.compact
@@ -58,6 +59,7 @@ class RealBasicVSR(nn.Module):
             self.remat,
             fuse_directions=self.fuse_directions,
             block_unroll=self.block_unroll,
+            time_unroll=self.time_unroll,
             dtype=self.dtype,
             name="basicvsr",
         )(lq, stream_state=stream_state, return_state=return_state)
