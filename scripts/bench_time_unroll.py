@@ -58,7 +58,10 @@ def main():
         @partial(jax.jit, compiler_options=BENCH_OPTS)
         def fwd(p, x, model=model):
             sr, _ = model.apply({"params": p}, x)
-            return jnp.sum(sr), sr[0, 0, :2, :2, 0]
+            # probe slice spans ALL T frames: later frames accumulate more
+            # bf16 reassociation drift through the recurrence than frame 0
+            # (ADVICE r3), so a frame-0-only probe understates the diff
+            return jnp.sum(sr), sr[0, :, ::64, ::64, 0]
 
         s, probe = fwd(params, lr)
         float(s)

@@ -208,6 +208,7 @@ class BasicVSR(nn.Module):
                 split_rngs={"params": False},
                 in_axes=1,
                 out_axes=1,
+                unroll=self.time_unroll or (t if t <= 8 else 1),
             )
             _, outputs_backward = scan(
                 self.backward_cell, feat0, (lrs_rev, bwd_flows)
