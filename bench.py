@@ -190,45 +190,38 @@ def leg_headline() -> None:
     params = variables["params"]
 
     fps, mfu = bench_inference(model, params)
-    train_fps, train_ms, train_mfu = bench_train(model)
-
     out = {
         "metric": "realbasicvsr_4x_720p_inference",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / (TARGET_MULTIPLE * A100_FPS_ANCHOR), 3),
-        "train_fps": round(train_fps, 3),
-        "train_step_ms": round(train_ms, 2),
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
+    # the PRIMARY metric lands even if the train-step cold compile
+    # (~110 s, the leg's long pole) outlives the leg timeout
+    print(json.dumps(out), flush=True)
+
+    train_fps, train_ms, train_mfu = bench_train(model)
+    out["train_fps"] = round(train_fps, 3)
+    out["train_step_ms"] = round(train_ms, 2)
     if train_mfu is not None:
         out["train_mfu"] = round(train_mfu, 4)
     print(json.dumps(out), flush=True)
 
 
-def leg_vrt() -> None:
-    """Secondary metrics: VRT-family inference (driver config #5).
-
-    TinyVRT at its default 6-frame 64×64 shape, plus full paper-config
-    VRT (30.68 M params) on a 16×256×256 clip — single-pass, which fits
-    HBM via per-frame-pair chunked alignment (align_chunks=30; the
-    tiled path in evaluation/tiled.py remains for larger inputs —
-    docs/tpu_kernel_notes.md perf pass V). Compiles are served by the
-    persistent cache after the first round. Prints a partial JSON line
-    after the (fast) TinyVRT leg so a timeout during the full-VRT leg
-    still lands the tiny number.
-    """
+def leg_vrt_tiny() -> None:
+    """Secondary metric: TinyVRT inference at its default 6-frame 64×64
+    shape (driver config #5)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from vsrlab_tpu.models import VRT, TinyVRT
+    from vsrlab_tpu.models import TinyVRT
     from vsrlab_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
     rng = np.random.default_rng(2)
-    out = {}
 
     _log("vrt: tiny init")
     tiny = TinyVRT(upscale=4, dtype=jnp.bfloat16)
@@ -247,8 +240,27 @@ def leg_vrt() -> None:
         float(s)
 
     _log("vrt: tiny compile+timing")
-    out["vrt_tiny_6f64_fps"] = round(6 / _best_time(tiny_sync), 2)
-    print(json.dumps(out), flush=True)  # partial result lands even if killed
+    out = {"vrt_tiny_6f64_fps": round(6 / _best_time(tiny_sync), 2)}
+    _log("vrt: tiny done")
+    print(json.dumps(out), flush=True)
+
+
+def leg_vrt_full() -> None:
+    """Secondary metric: full paper-config VRT (30.68 M params) on a
+    16×256×256 clip — single-pass, which fits HBM via per-frame-pair
+    chunked alignment (align_chunks=30; the tiled path in
+    evaluation/tiled.py remains for larger inputs —
+    docs/tpu_kernel_notes.md perf pass V). Compiles are served by the
+    persistent cache after the first round."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vsrlab_tpu.models import VRT
+    from vsrlab_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(2)
 
     _log("vrt: full init")
     t, s = 16, 256
@@ -271,12 +283,76 @@ def leg_vrt() -> None:
 
     _log("vrt: full compile+timing")
     dt = _best_time(full_sync, n_iters=1, repeats=2)
-    out["vrt_full_16f256_fps"] = round(t / dt, 3)
-    _log("vrt: done")
-    print(json.dumps(out), flush=True)
+    _log("vrt: full done")
+    print(json.dumps({"vrt_full_16f256_fps": round(t / dt, 3)}), flush=True)
 
 
-LEGS = {"headline": leg_headline, "vrt": leg_vrt}
+def leg_serving() -> None:
+    """Batched-serving throughput: RealBasicVSR, 2 independent 10-frame
+    180×320 clips per forward (720p out). Batch 2 is the MEASURED
+    serving optimum at this shape (scripts/bench_serving_batch.py:
+    29.4 / 32.9 / 26.5 total fps at batch 1/2/4 — the conv GEMM
+    M-dimension is already saturated at 720p, so batch 4 tips into HBM
+    pressure; the 2.2× conv-chain batch win only exists at 64×64 train
+    crops). Same compiler options as the headline leg, so the two fps
+    keys are apples-to-apples. The reference bench is single-clip only
+    (src/params.py:115-127)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vsrlab_tpu.models import RealBasicVSR
+    from vsrlab_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    model = RealBasicVSR(
+        mid_channels=64, res_blocks=30, cleaning_blocks=20, dtype=jnp.bfloat16
+    )
+    lr0 = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+    _log("serving: init params (tiny shape)")
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), lr0)["params"]
+
+    b, t_frames = 2, 10
+    lr = jnp.asarray(
+        np.random.default_rng(3).random((b, t_frames, 180, 320, 3)),
+        jnp.float32,
+    )
+
+    @partial(
+        jax.jit,
+        compiler_options={
+            "xla_tpu_enable_experimental_fusion_cost_model": "true",
+            "xla_tpu_scoped_vmem_limit_kib": "32768",
+        },
+    )
+    def serve_fwd(params, lr):
+        sr, _ = model.apply({"params": params}, lr)
+        return jnp.sum(sr)
+
+    _log("serving: batch-2 compile")
+    compiled = serve_fwd.lower(params, lr).compile()
+    float(compiled(params, lr))
+
+    def call_and_sync(n):
+        s = None
+        for _ in range(n):
+            s = compiled(params, lr)
+        float(s)
+
+    _log("serving: timing")
+    dt = _best_time(call_and_sync)
+    _log("serving: done")
+    print(json.dumps(
+        {"serve_b2_720p_fps": round(b * t_frames / dt, 2)}
+    ), flush=True)
+
+
+LEGS = {
+    "headline": leg_headline,
+    "vrt_tiny": leg_vrt_tiny,
+    "serving": leg_serving,
+    "vrt_full": leg_vrt_full,
+}
 
 
 # ---------------------------------------------------------------------------
@@ -328,21 +404,32 @@ def main() -> None:
             "error": f"headline leg failed ({note})",
         }), flush=True)
         sys.exit(1)
+    if note:
+        headline["headline_note"] = note  # partial (e.g. train timed out)
     print(json.dumps(headline), flush=True)  # headline lands FIRST
 
     out = dict(headline)
-    remaining = budget - (time.monotonic() - _T0) - 10
-    if remaining > 60:
-        vrt, vnote = _run_leg("vrt", timeout_s=remaining)
+    printed = False
+    for leg in ("vrt_tiny", "serving", "vrt_full"):
+        remaining = budget - (time.monotonic() - _T0) - 10
+        if remaining <= 60:
+            out[f"{leg}_note"] = "skipped (budget)"
+            printed = False
+            continue
+        vrt, vnote = _run_leg(leg, timeout_s=remaining)
         if vrt:
             out.update(vrt)
         if vnote:
-            out["vrt_note"] = vnote
-    else:
-        out["vrt_note"] = "skipped (budget)"
+            out[f"{leg}_note"] = vnote
+        # merged line after EVERY leg: a kill during the next leg can
+        # never lose an already-measured number
+        out["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+        print(json.dumps(out), flush=True)
+        printed = True
 
-    out["bench_wall_s"] = round(time.monotonic() - _T0, 1)
-    print(json.dumps(out), flush=True)
+    if not printed:
+        out["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -51,8 +51,21 @@ def speed_bench(
     }
 
 
-def run(cfg_dirs: List[str], out_csv: Optional[str] = None):
-    """Bench every model directory (reference run, src/params.py:67-133)."""
+def run(
+    cfg_dirs: List[str],
+    out_csv: Optional[str] = None,
+    batch: int = 1,
+    window_size: int = 10,
+    height: int = 180,
+    width: int = 320,
+):
+    """Bench every model directory (reference run, src/params.py:67-133).
+
+    ``batch > 1`` measures multi-clip serving throughput: one jitted
+    forward over ``batch`` independent clips — the deployment shape for
+    a saturated serving chip (the reference bench is single-clip only,
+    src/params.py:115-127). ``frames_per_sec`` counts all clips.
+    """
     import pandas as pd
 
     from vsrlab_tpu.evaluation.harness import load_test_model
@@ -60,8 +73,11 @@ def run(cfg_dirs: List[str], out_csv: Optional[str] = None):
     rows = []
     for cfg_dir in cfg_dirs:
         model, params, _ = load_test_model(cfg_dir)
-        stats = speed_bench(model, params)
-        rows.append({"model": Path(cfg_dir).name, **stats})
+        stats = speed_bench(
+            model, params, clip_shape=(batch, window_size, height, width, 3)
+        )
+        stats["frames_per_sec"] *= batch
+        rows.append({"model": Path(cfg_dir).name, "batch": batch, **stats})
         print(rows[-1])
     df = pd.DataFrame(rows)
     if out_csv:
@@ -75,8 +91,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("cfg_dirs", nargs="+")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="clips per forward (serving throughput)")
+    ap.add_argument("--window-size", type=int, default=10)
+    ap.add_argument("--height", type=int, default=180)
+    ap.add_argument("--width", type=int, default=320)
     args = ap.parse_args(argv)
-    print(run(args.cfg_dirs, args.out))
+    print(run(args.cfg_dirs, args.out, args.batch, args.window_size,
+              args.height, args.width))
 
 
 if __name__ == "__main__":
