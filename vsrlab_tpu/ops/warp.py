@@ -19,12 +19,18 @@ previous 4-corner ``take_along_axis`` formulation (18.0 vs 34.4 ms fwd,
 rows, and the scatter-add transpose collapses 4 colliding scatters into
 one plus dense adds through the shift/concat transpose.
 
-Why not a Pallas kernel: warping needs per-pixel dynamic gathers across
-the whole (H·W) plane. Mosaic's ``tpu.dynamic_gather`` only gathers
-within a single 128-lane vreg ("Multiple source vregs along gather
-dimension" otherwise, verified on v5e), so an arbitrary-displacement
-warp is not expressible as a fused Pallas kernel today. Revisit when
-Mosaic grows multi-vreg gathers.
+Why not a Pallas kernel (re-tested round 4 at the packed-row layout —
+scripts/bench_pallas_deform_gather.py): Mosaic's ``tpu.dynamic_gather``
+is a same-shape vreg PERMUTATION ("Shape mismatch in input, indices and
+output" for any table→larger-output take, verified on v5e), per-row
+dynamic slices on the tiled sublane dim are rejected ("cannot statically
+prove that index in dimension 1 is a multiple of 8"), and the one
+formulation that DOES lower — 8-row block loads at an untiled major
+index + one-hot sublane select — measures 63.4 vs 68.6 ms/tap against
+this file's flattened take at the full-VRT 15-pair shape (1.08×), while
+the shipped per-pair chunked path already runs ~3× that row rate via
+locality. Closed by measurement; revisit only if Mosaic grows
+cross-vreg gathers.
 
 Conventions (channels-last):
   * images ``(N, H, W, C)``
