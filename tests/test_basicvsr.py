@@ -1,5 +1,7 @@
 """BasicVSR / RealBasicVSR / UNetDiscriminator model tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +22,7 @@ class TestBasicVSR:
         assert sr.shape == (2, 5, 64, 64, 3)
         assert np.isfinite(np.asarray(sr)).all()
 
+    @pytest.mark.slow  # default tier: test_output_shape covers the x4 default
     def test_upscale_2(self, rng):
         model = BasicVSR(mid_channels=8, res_blocks=1, upscale=2)
         lrs = jnp.asarray(rng.random((1, 3, 16, 16, 3)), jnp.float32)
@@ -41,6 +44,7 @@ class TestBasicVSR:
         ).reshape(1, 3, 32, 32, 3)
         np.testing.assert_allclose(np.asarray(sr), np.asarray(base), atol=1e-6)
 
+    @pytest.mark.slow  # training semantic also exercised by trainer e2e (slow)
     def test_frozen_flow_gets_no_grad(self, rng):
         """train_flow=False must stop gradients into SpyNet params
         (reference freezes them via requires_grad=False, basicvsr.py:25-28)."""
@@ -77,6 +81,7 @@ class TestBasicVSR:
         b = np.asarray(jax.jit(unrolled.apply)(variables, lrs))
         np.testing.assert_allclose(a, b, atol=1e-6)
 
+    @pytest.mark.slow  # default tier: torch full-forward oracle pins recurrence
     def test_temporal_propagation_reaches_all_frames(self, rng):
         """Perturbing the middle frame must change every output frame
         (bidirectional recurrence carries information both ways)."""

@@ -1,5 +1,7 @@
 """Checkpoint save/restore semantics (orbax, CPU platform)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -114,6 +116,7 @@ class TestCheckpoint:
         assert epochs == [1, 2]
         mgr.close()
 
+    @pytest.mark.slow  # default tier: TestRestoreSemantics covers restore paths
     def test_restored_params_resume_training(self, tmp_path, rng):
         """Restored params produce identical forward outputs."""
         lr = jnp.asarray(rng.random((1, 2, 8, 8, 3)), jnp.float32)

@@ -92,6 +92,7 @@ class TestSpyNetProgressive:
         assert GConf(0).image_size == (24, 32)
         assert GConf(3).image_size == (192, 256)
 
+    @pytest.mark.slow  # curriculum also e2e-tested in test_trainer_e2e (slow)
     def test_curriculum_limit_k(self, rng):
         model = SpyNetProgressive(k=4, return_levels=(3,))
         f1 = jnp.asarray(rng.random((1, 192, 256, 3)), jnp.float32)
@@ -196,6 +197,7 @@ class TestFlowData:
 
 
 class TestOpticalFlowConsistency:
+    @pytest.mark.slow  # multi-model compile; per-model oracles stay default
     def test_zero_at_identity(self, rng):
         from vsrlab_tpu.core.losses import OpticalFlowConsistency
 

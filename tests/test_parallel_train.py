@@ -291,6 +291,7 @@ class TestSequenceParallelTraining:
 
 
 class TestTensorParallel:
+    @pytest.mark.slow  # default tier: dp×tp dryrun_multichip[2] executes TP
     def test_head_sharded_vrt_matches_unsharded(self, rng):
         """Attention heads sharded over a 'model' axis must not change
         the output (heads are independent; TP is layout only)."""

@@ -25,6 +25,7 @@ class TestShapes:
         flow = model.apply(spynet_vars, ref, supp)
         assert flow.shape == (2, 64, 64, 2)
 
+    @pytest.mark.slow  # padding path; default tier keeps the aligned shapes
     def test_non_multiple_of_32(self, rng, spynet_vars):
         """180x320 pair — the driver's CPU-runnable config #1 shape."""
         model = SpyNet()
@@ -49,6 +50,7 @@ class TestShapes:
 
 
 class TestSharedPyramid:
+    @pytest.mark.slow  # default tier: torch pyramid oracle covers SpyNet math
     def test_adjacent_pairs_matches_pair_call(self, rng, spynet_vars):
         """adjacent_pairs (one pyramid over unique frames, sliced into
         pair stacks) must be bitwise identical to the generic pair call —

@@ -12,6 +12,8 @@ The reference resets both directions every window (src/test.py:124-135);
 streaming is a capability beyond it.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +46,7 @@ class TestBasicVSRStreaming:
         sr_plain = model.apply(variables, lrs)
         np.testing.assert_array_equal(np.asarray(sr), np.asarray(sr_plain))
 
+    @pytest.mark.slow  # default tier: test_three_window_chain covers chaining
     def test_streamed_final_frame_matches_full_clip(self, rng):
         """Both runs start the final frame's backward step from a zero
         carry, and streaming makes the forward carry exact — so the last
@@ -77,6 +80,7 @@ class TestBasicVSRStreaming:
             rtol=2e-5, atol=2e-6,
         )
 
+    @pytest.mark.slow  # quality comparison, not a correctness gate
     def test_streaming_beats_stateless_windows(self, rng):
         """On the second window's first frames, the streamed output must
         be closer to the full-clip result than the stateless window is

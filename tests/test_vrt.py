@@ -151,6 +151,7 @@ class TestBlocks:
         y = mod.apply(variables, x)
         assert y.shape == x.shape
 
+    @pytest.mark.slow  # default tier: TinyVRT forward exercises all stages
     def test_stage_down_up_shapes(self, rng):
         flows = [jnp.zeros((1, 3, 4, 4, 2), jnp.float32)]
         x = jnp.asarray(rng.random((1, 4, 8, 8, 8)), jnp.float32)
@@ -212,7 +213,11 @@ class TestTinyVRT:
         )
         assert flow_norm == 0.0
 
-    @pytest.mark.parametrize("chunks", [3, 4])
+    @pytest.mark.parametrize(
+        # chunks=4 (the padding case) stays default; the exact-divisor
+        # case is slow-tier (same code path minus the padding branch)
+        "chunks", [pytest.param(3, marks=pytest.mark.slow), 4]
+    )
     def test_align_chunks_match_batched(self, rng, model_and_vars, chunks):
         """align_chunks (scan-chunked parallel warping — the lever that
         fits single-pass full-scale VRT in HBM) must be a pure memory

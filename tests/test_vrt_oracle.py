@@ -82,6 +82,7 @@ def _assert_forward_match(got, want):
 
 
 class TestTinyVRTOracle:
+    @pytest.mark.slow  # default tier keeps the (cheaper) full-VRT oracle
     def test_full_forward_matches_reference(self, rng):
         ref_vrt = load_reference_vrt()
         patch_vrt_flow_levels(ref_vrt)
