@@ -23,19 +23,28 @@ peak (197 TFLOP/s), with FLOPs from XLA's compiled cost analysis.
 Structure (VERDICT r3 weak #1: round 3's 16-minute monolith outgrew the
 driver timeout and shipped an EMPTY scoreboard despite a judge-verified
 31.9 fps): the top-level process is a pure orchestrator — no JAX — that
-runs each leg group in a subprocess with a wall-clock budget
-(``VSRLAB_BENCH_BUDGET_S``, default 480 s total) and merges their JSON.
-The headline legs can never be starved by the secondary legs, a
-timed-out VRT leg is skipped-and-noted instead of sinking the run, and
-phase timings go to stderr for diagnosability.
+feeds leg names to ONE persistent worker subprocess and enforces a
+wall-clock budget per leg (``VSRLAB_BENCH_BUDGET_S``, default 480 s
+total), merging each leg's JSON lines as they stream back. One worker —
+not one subprocess per leg — because every fresh TPU process on this box
+pays the axon-tunnel congestion stall (measured 140-240 s on the first
+device call after ANY previous TPU process exits) plus a persistent-
+cache client load; per-leg subprocesses lost all three secondary
+metrics to those stalls twice in a row. The headline legs can never be
+starved by the secondary legs, a timed-out leg keeps its already-printed
+partial metrics and is noted (the worker is killed and later legs skip),
+a leg that raises is noted without sinking the others, and phase timings
+go to stderr for diagnosability.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import queue
 import subprocess
 import sys
+import threading
 import time
 from functools import partial
 
@@ -167,6 +176,32 @@ def bench_train(model):
     mfu = (flops / dt / V5E_PEAK_FLOPS) if flops else None
     _log(f"train: done ({dt * 1e3:.1f} ms/step)")
     return b * t / dt, dt * 1e3, mfu
+
+
+def leg_warmup() -> None:
+    """Absorb the axon-tunnel first-contact stall on a trivial call.
+
+    Measured (round 4): the FIRST device call of a fresh TPU process on
+    this box stalls unpredictably — 28 s, 44 s, 146 s, 237 s, 298 s,
+    >447 s across one day — regardless of payload (a jnp.sum on an 8×8
+    stalls the same as the 180 MB headline program, and once any call
+    completes, program load + 70 MB argument transfer takes ~3 s). Run
+    the stall through a dedicated leg so the orchestrator can give it
+    its own deadline and the REAL legs start with a warm tunnel.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vsrlab_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    t0 = _time.monotonic()
+    float(jax.jit(jnp.sum)(jnp.ones((8, 8), jnp.float32)))
+    print(json.dumps(
+        {"tunnel_warmup_s": round(_time.monotonic() - t0, 1)}
+    ), flush=True)
 
 
 def leg_headline() -> None:
@@ -348,6 +383,7 @@ def leg_serving() -> None:
 
 
 LEGS = {
+    "warmup": leg_warmup,
     "headline": leg_headline,
     "vrt_tiny": leg_vrt_tiny,
     "serving": leg_serving,
@@ -360,42 +396,132 @@ LEGS = {
 # ---------------------------------------------------------------------------
 
 
-def _run_leg(name: str, timeout_s: float):
-    """Run one leg subprocess; return (parsed-last-JSON-line | None, note)."""
-    _log(f"leg {name}: start (timeout {timeout_s:.0f}s)")
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--leg", name],
+def _serve() -> None:
+    """Worker mode: run leg names read from stdin, one per line.
+
+    One process serves every leg so the whole bench pays the axon-tunnel
+    congestion stall and the persistent-cache client load ONCE. A leg
+    that raises is reported and does not kill the legs after it.
+    """
+    for line in sys.stdin:
+        name = line.strip()
+        if not name:
+            continue
+        try:
+            LEGS[name]()
+        except Exception as e:  # noqa: BLE001 — report, keep serving
+            print(json.dumps({"__leg_error__": f"{name}: {e!r}"}), flush=True)
+        print(json.dumps({"__leg_done__": name}), flush=True)
+
+
+class _LegServer:
+    """Drive the ``--serve`` worker; enforce per-leg deadlines here."""
+
+    def __init__(self):
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--serve"],
+            stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
-            timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
+            text=True,
         )
-        stdout, note = proc.stdout, (
-            None if proc.returncode == 0 else f"rc={proc.returncode}"
-        )
-    except subprocess.TimeoutExpired as e:
-        stdout, note = e.stdout, "timeout"
-    parsed = None
-    for line in (stdout or b"").decode(errors="replace").splitlines():
-        line = line.strip()
-        if line.startswith("{"):
+        self.dead = False
+        self._lines: queue.Queue = queue.Queue()
+        threading.Thread(target=self._pump, daemon=True).start()
+
+    def _pump(self):
+        for line in self.proc.stdout:
+            self._lines.put(line)
+        self._lines.put(None)  # EOF
+
+    def run_leg(self, name: str, timeout_s: float):
+        """Submit one leg; return (last-JSON-line | None, note | None).
+
+        Every metric line the leg printed before a timeout/crash is
+        kept — the LAST parsed line is the most complete result.
+        """
+        if self.dead:
+            return None, "skipped (worker dead)"
+        _log(f"leg {name}: start (timeout {timeout_s:.0f}s)")
+        try:
+            self.proc.stdin.write(name + "\n")
+            self.proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            self.dead = True
+            return None, "skipped (worker dead)"
+        deadline = time.monotonic() + timeout_s
+        parsed = note = None
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                note = "timeout"
+                self.kill()  # the leg is wedged; later legs skip
+                break
             try:
-                parsed = json.loads(line)
+                line = self._lines.get(timeout=min(remaining, 1.0))
+            except queue.Empty:
+                continue
+            if line is None:  # worker exited (crash or clean EOF)
+                self.dead = True
+                note = f"rc={self.proc.wait()}"
+                break
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
             except ValueError:
-                pass
-    _log(f"leg {name}: {'ok' if note is None else note}"
-         f"{' (partial result)' if note and parsed else ''}")
-    return parsed, note
+                continue
+            if "__leg_done__" in obj:
+                break
+            if "__leg_error__" in obj:
+                note = obj["__leg_error__"]
+            else:
+                parsed = obj
+        _log(f"leg {name}: {'ok' if note is None else note}"
+             f"{' (partial result)' if note and parsed else ''}")
+        return parsed, note
+
+    def kill(self):
+        self.dead = True
+        try:
+            self.proc.kill()
+        except OSError:
+            pass
+
+    def close(self):
+        if self.dead:
+            return
+        try:
+            self.proc.stdin.close()
+            self.proc.wait(timeout=30)
+        except (OSError, subprocess.TimeoutExpired):
+            self.kill()
 
 
 def main() -> None:
-    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--serve":
+        _serve()
+        return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":  # manual single leg
         LEGS[sys.argv[2]]()
         return
 
     budget = float(os.environ.get("VSRLAB_BENCH_BUDGET_S", "480"))
+    server = _LegServer()
 
-    headline, note = _run_leg("headline", timeout_s=budget - 10)
+    # the first-contact stall gets its own deadline: everything after it
+    # is fast (headline ≈70 s warm), so reserve that much and let the
+    # warmup soak up whatever the tunnel costs today
+    warm, wnote = server.run_leg("warmup", timeout_s=budget - 120)
+
+    headline, note = server.run_leg(
+        "headline", timeout_s=budget - (time.monotonic() - _T0) - 10
+    )
+    if headline is not None and warm:
+        headline.update(warm)
+    if headline is not None and wnote:
+        headline["warmup_note"] = wnote
     if headline is None:
         print(json.dumps({
             "metric": "realbasicvsr_4x_720p_inference",
@@ -409,14 +535,16 @@ def main() -> None:
     print(json.dumps(headline), flush=True)  # headline lands FIRST
 
     out = dict(headline)
-    printed = False
+    printed = True
     for leg in ("vrt_tiny", "serving", "vrt_full"):
         remaining = budget - (time.monotonic() - _T0) - 10
-        if remaining <= 60:
-            out[f"{leg}_note"] = "skipped (budget)"
+        if remaining <= 30 or server.dead:
+            out[f"{leg}_note"] = (
+                "skipped (worker dead)" if server.dead else "skipped (budget)"
+            )
             printed = False
             continue
-        vrt, vnote = _run_leg(leg, timeout_s=remaining)
+        vrt, vnote = server.run_leg(leg, timeout_s=remaining)
         if vrt:
             out.update(vrt)
         if vnote:
@@ -430,6 +558,7 @@ def main() -> None:
     if not printed:
         out["bench_wall_s"] = round(time.monotonic() - _T0, 1)
         print(json.dumps(out), flush=True)
+    server.close()
 
 
 if __name__ == "__main__":

@@ -1,11 +1,16 @@
 """bench.py orchestrator contract tests (no TPU, no JAX).
 
 Round 3 shipped an empty official scoreboard because the monolithic
-bench outlived the driver timeout (BENCH_r03 rc=124, parsed=null).
-These tests pin the delivery mechanics that prevent a recurrence:
-every leg subprocess's LAST printed JSON line is what merges, a
-timed-out leg yields its partial result plus a note, and a crashed leg
-cannot sink the run.
+bench outlived the driver timeout (BENCH_r03 rc=124, parsed=null);
+round 4 additionally found that EVERY fresh TPU process pays a
+140-240 s axon-tunnel congestion stall, which starved the secondary
+legs out of per-leg subprocesses twice in a row. These tests pin the
+delivery mechanics of the single persistent worker that prevents both:
+all legs share one worker process, each leg's LAST printed JSON line is
+what merges, a timed-out leg keeps its partial result (and kills the
+wedged worker so later legs skip instead of hanging), a leg that raises
+is noted without sinking the legs after it, and a worker crash reports
+its rc without losing already-printed metrics.
 """
 
 import importlib.util
@@ -28,64 +33,80 @@ def bench():
     return mod
 
 
-def _fake_leg(tmp_path, body):
-    """Write a stand-in leg script; bench._run_leg re-invokes
-    ``<python> <file> --leg <name>``, so the stub just ignores argv."""
-    p = tmp_path / "fake_bench.py"
-    p.write_text(textwrap.dedent(body))
-    return str(p)
+# A stand-in worker implementing the ``--serve`` line protocol with one
+# scripted behavior per leg name. bench._LegServer re-invokes
+# ``<python> <bench.__file__> --serve``, so pointing __file__ at this
+# script swaps the worker while keeping the orchestrator under test.
+FAKE_SERVE = """
+import json, os, sys, time
 
+def emit(o):
+    print(json.dumps(o), flush=True)
 
-def test_run_leg_takes_last_json_line(bench, tmp_path):
-    bench.__file__ = _fake_leg(
-        tmp_path,
-        """
-        import json
-        print("noise, not json")
-        print(json.dumps({"a": 1}), flush=True)
-        print(json.dumps({"a": 1, "b": 2}), flush=True)
-        """,
-    )
-    parsed, note = bench._run_leg("anything", timeout_s=30)
-    assert parsed == {"a": 1, "b": 2}
-    assert note is None
-
-
-def test_run_leg_timeout_keeps_partial_result(bench, tmp_path):
-    bench.__file__ = _fake_leg(
-        tmp_path,
-        """
-        import json, time
-        print(json.dumps({"partial": True}), flush=True)
+for line in sys.stdin:
+    name = line.strip()
+    if name == "good":
+        emit({"a": 1})
+        emit({"a": 1, "b": 2, "pid": os.getpid()})
+    elif name == "slow":
+        emit({"partial": True, "pid": os.getpid()})
         time.sleep(60)
-        print(json.dumps({"partial": False}), flush=True)
-        """,
-    )
-    parsed, note = bench._run_leg("anything", timeout_s=3)
-    assert parsed == {"partial": True}
-    assert note == "timeout"
-
-
-def test_run_leg_crash_reports_rc(bench, tmp_path):
-    bench.__file__ = _fake_leg(
-        tmp_path,
-        """
-        import json, sys
-        print(json.dumps({"before_crash": 1}), flush=True)
+        emit({"partial": False})
+    elif name == "raises":
+        emit({"kept": 1})
+        emit({"__leg_error__": "raises: ValueError('boom')"})
+    elif name == "crash":
+        emit({"before_crash": 1})
         sys.exit(3)
-        """,
-    )
-    parsed, note = bench._run_leg("anything", timeout_s=30)
+    emit({"__leg_done__": name})
+"""
+
+
+@pytest.fixture()
+def server(bench, tmp_path):
+    p = tmp_path / "fake_bench.py"
+    p.write_text(textwrap.dedent(FAKE_SERVE))
+    bench.__file__ = str(p)
+    srv = bench._LegServer()
+    yield srv
+    srv.kill()
+
+
+def test_one_worker_serves_all_legs_last_line_wins(server):
+    parsed1, note1 = server.run_leg("good", timeout_s=30)
+    parsed2, note2 = server.run_leg("good", timeout_s=30)
+    assert note1 is None and note2 is None
+    assert parsed1["b"] == 2  # last JSON line, not the first
+    # the single-process property: both legs ran in the SAME worker
+    assert parsed1["pid"] == parsed2["pid"]
+
+
+def test_timeout_keeps_partial_and_kills_worker(server):
+    parsed, note = server.run_leg("slow", timeout_s=3)
+    assert parsed == {"partial": True, "pid": parsed["pid"]}
+    assert note == "timeout"
+    # the wedged worker was killed; later legs skip instead of hanging
+    parsed2, note2 = server.run_leg("good", timeout_s=3)
+    assert parsed2 is None
+    assert note2 == "skipped (worker dead)"
+
+
+def test_leg_error_noted_without_sinking_later_legs(server):
+    parsed, note = server.run_leg("raises", timeout_s=30)
+    assert parsed == {"kept": 1}  # metrics printed before the error merge
+    assert "ValueError" in note
+    parsed2, note2 = server.run_leg("good", timeout_s=30)
+    assert note2 is None and parsed2["b"] == 2
+
+
+def test_worker_crash_reports_rc_keeps_partial(server):
+    parsed, note = server.run_leg("crash", timeout_s=30)
     assert parsed == {"before_crash": 1}
     assert note == "rc=3"
-
-
-def test_run_leg_no_output(bench, tmp_path):
-    bench.__file__ = _fake_leg(tmp_path, "import sys; sys.exit(1)\n")
-    parsed, note = bench._run_leg("anything", timeout_s=30)
-    assert parsed is None
-    assert note == "rc=1"
+    assert server.dead
 
 
 def test_leg_registry_complete(bench):
-    assert set(bench.LEGS) == {"headline", "vrt_tiny", "serving", "vrt_full"}
+    assert set(bench.LEGS) == {
+        "warmup", "headline", "vrt_tiny", "serving", "vrt_full"
+    }
