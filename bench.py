@@ -434,11 +434,14 @@ class _LegServer:
             self._lines.put(line)
         self._lines.put(None)  # EOF
 
-    def run_leg(self, name: str, timeout_s: float):
+    def run_leg(self, name: str, timeout_s: float, echo: bool = False):
         """Submit one leg; return (last-JSON-line | None, note | None).
 
         Every metric line the leg printed before a timeout/crash is
-        kept — the LAST parsed line is the most complete result.
+        kept — the LAST parsed line is the most complete result. With
+        ``echo``, metric lines are forwarded to stdout the moment they
+        arrive, so even a kill of THIS process mid-leg leaves the
+        best-so-far result as the last stdout line.
         """
         if self.dead:
             return None, "skipped (worker dead)"
@@ -478,6 +481,8 @@ class _LegServer:
                 note = obj["__leg_error__"]
             else:
                 parsed = obj
+                if echo:
+                    print(line, flush=True)
         _log(f"leg {name}: {'ok' if note is None else note}"
              f"{' (partial result)' if note and parsed else ''}")
         return parsed, note
@@ -516,7 +521,8 @@ def main() -> None:
     warm, wnote = server.run_leg("warmup", timeout_s=budget - 120)
 
     headline, note = server.run_leg(
-        "headline", timeout_s=budget - (time.monotonic() - _T0) - 10
+        "headline", timeout_s=budget - (time.monotonic() - _T0) - 10,
+        echo=True,  # the inference line must survive a parent kill
     )
     if headline is not None and warm:
         headline.update(warm)

@@ -81,6 +81,17 @@ def test_one_worker_serves_all_legs_last_line_wins(server):
     assert parsed1["pid"] == parsed2["pid"]
 
 
+def test_echo_forwards_metric_lines_immediately(server, capsys):
+    """echo=True puts each metric line on the parent's stdout as it
+    arrives, so a kill of the PARENT mid-leg still leaves the
+    best-so-far result as the last stdout line."""
+    server.run_leg("good", timeout_s=30, echo=True)
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [set(o) - {"pid"} for o in lines] == [{"a"}, {"a", "b"}]
+    # sentinel lines are never echoed
+    assert not any("__leg_done__" in o for o in lines)
+
+
 def test_timeout_keeps_partial_and_kills_worker(server):
     parsed, note = server.run_leg("slow", timeout_s=3)
     assert parsed == {"partial": True, "pid": parsed["pid"]}
