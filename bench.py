@@ -297,13 +297,20 @@ def leg_vrt_full() -> None:
     enable_compilation_cache()
     rng = np.random.default_rng(2)
 
-    _log("vrt: full init")
+    _log("vrt: full init (tiny shape)")
     t, s = 16, 256
     full = VRT(
         upscale=4, img_size=(t, s, s), align_chunks=30, dtype=jnp.bfloat16
     )
     clip = jnp.asarray(rng.random((1, t, s, s, 3)), jnp.float32)
-    fv = jax.jit(full.init)(jax.random.PRNGKey(0), clip)
+    # init at a tiny input: VRT's param tree is input-shape-independent
+    # (verified by eval_shape at (1,2,64,64) vs (1,16,256,256) — window/
+    # embed sizes set every param shape), and the tiny init program
+    # traces+runs in a fraction of the full-shape one (~16 s saved warm;
+    # measured in scripts/probe_vrt_full_phases.py)
+    fv = jax.jit(full.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+    )
 
     @jax.jit
     def full_fwd(v, z):
@@ -426,6 +433,11 @@ class _LegServer:
             text=True,
         )
         self.dead = False
+        # legs submitted but not yet confirmed done (__leg_done__ unseen):
+        # a leg that timed out with kill_on_timeout=False is still running
+        # in the worker; its late lines must not be attributed to the next
+        # leg
+        self._overdue: list = []
         self._lines: queue.Queue = queue.Queue()
         threading.Thread(target=self._pump, daemon=True).start()
 
@@ -434,7 +446,8 @@ class _LegServer:
             self._lines.put(line)
         self._lines.put(None)  # EOF
 
-    def run_leg(self, name: str, timeout_s: float, echo: bool = False):
+    def run_leg(self, name: str, timeout_s: float, echo: bool = False,
+                kill_on_timeout: bool = True):
         """Submit one leg; return (last-JSON-line | None, note | None).
 
         Every metric line the leg printed before a timeout/crash is
@@ -442,6 +455,13 @@ class _LegServer:
         ``echo``, metric lines are forwarded to stdout the moment they
         arrive, so even a kill of THIS process mid-leg leaves the
         best-so-far result as the last stdout line.
+
+        ``kill_on_timeout=False`` leaves the worker ALIVE on timeout and
+        moves on: right for the warmup leg, which has no metrics to
+        protect — an axon first-contact stall longer than the warmup
+        deadline (measured >447 s) then only delays the headline instead
+        of emptying the whole scoreboard. The overdue leg's late output
+        is discarded (never attributed to a later leg).
         """
         if self.dead:
             return None, "skipped (worker dead)"
@@ -458,7 +478,10 @@ class _LegServer:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 note = "timeout"
-                self.kill()  # the leg is wedged; later legs skip
+                if kill_on_timeout:
+                    self.kill()  # the leg is wedged; later legs skip
+                else:
+                    self._overdue.append(name)
                 break
             try:
                 line = self._lines.get(timeout=min(remaining, 1.0))
@@ -476,7 +499,12 @@ class _LegServer:
             except ValueError:
                 continue
             if "__leg_done__" in obj:
+                if self._overdue and obj["__leg_done__"] == self._overdue[0]:
+                    self._overdue.pop(0)  # overdue leg finally finished
+                    continue
                 break
+            if self._overdue:
+                continue  # late line from an overdue leg: drop it
             if "__leg_error__" in obj:
                 note = obj["__leg_error__"]
             else:
@@ -517,8 +545,13 @@ def main() -> None:
 
     # the first-contact stall gets its own deadline: everything after it
     # is fast (headline ≈70 s warm), so reserve that much and let the
-    # warmup soak up whatever the tunnel costs today
-    warm, wnote = server.run_leg("warmup", timeout_s=budget - 120)
+    # warmup soak up whatever the tunnel costs today. A stall that blows
+    # even this deadline must NOT kill the worker — the warmup has no
+    # metrics to protect, and the headline can still land in whatever
+    # budget remains once the tunnel unwedges.
+    warm, wnote = server.run_leg(
+        "warmup", timeout_s=budget - 120, kill_on_timeout=False
+    )
 
     headline, note = server.run_leg(
         "headline", timeout_s=budget - (time.monotonic() - _T0) - 10,
@@ -542,7 +575,10 @@ def main() -> None:
 
     out = dict(headline)
     printed = True
-    for leg in ("vrt_tiny", "serving", "vrt_full"):
+    # cheapest first, then by value: serving ≈25 s warm; vrt_full is the
+    # flagship secondary (the hard-won single-pass full-config number)
+    # and outranks vrt_tiny when the tunnel stall has eaten the budget
+    for leg in ("serving", "vrt_full", "vrt_tiny"):
         remaining = budget - (time.monotonic() - _T0) - 10
         if remaining <= 30 or server.dead:
             out[f"{leg}_note"] = (

@@ -52,6 +52,10 @@ for line in sys.stdin:
         emit({"partial": True, "pid": os.getpid()})
         time.sleep(60)
         emit({"partial": False})
+    elif name == "slow_short":
+        emit({"partial": True})
+        time.sleep(8)
+        emit({"late_line": 1})
     elif name == "raises":
         emit({"kept": 1})
         emit({"__leg_error__": "raises: ValueError('boom')"})
@@ -108,6 +112,37 @@ def test_leg_error_noted_without_sinking_later_legs(server):
     assert "ValueError" in note
     parsed2, note2 = server.run_leg("good", timeout_s=30)
     assert note2 is None and parsed2["b"] == 2
+
+
+def test_no_kill_timeout_keeps_worker_for_later_legs(server):
+    """kill_on_timeout=False (the warmup policy): a leg that outlives its
+    deadline leaves the worker ALIVE, its late output is discarded, and
+    the next leg still gets its own result — a >deadline first-contact
+    stall delays the headline instead of emptying the scoreboard."""
+    parsed, note = server.run_leg(
+        "slow_short", timeout_s=4, kill_on_timeout=False
+    )
+    assert note == "timeout"
+    assert parsed == {"partial": True}
+    assert not server.dead
+    # the overdue leg finishes inside the next leg's window; its late
+    # lines are not attributed to this leg
+    parsed2, note2 = server.run_leg("good", timeout_s=30)
+    assert note2 is None
+    assert parsed2["b"] == 2 and "late_line" not in parsed2
+
+
+def test_no_kill_timeout_drops_overdue_lines(server, capsys):
+    """Late metric lines from an overdue leg are never echoed or parsed
+    into the next leg, and the next leg's done-sentinel is matched by
+    name."""
+    server.run_leg("slow_short", timeout_s=4, kill_on_timeout=False)
+    parsed, note = server.run_leg("good", timeout_s=90, echo=True)
+    assert note is None and parsed["b"] == 2
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    # only the "good" leg's lines were echoed; the overdue leg's
+    # late_line was dropped
+    assert [set(o) - {"pid"} for o in lines] == [{"a"}, {"a", "b"}]
 
 
 def test_worker_crash_reports_rc_keeps_partial(server):
