@@ -87,40 +87,47 @@ class TestSpyNetImport:
         np.testing.assert_array_equal(got, want)
 
 
+def synth_realbasicvsr_sd(rng, mid=8, blocks=2, cleaning=1):
+    """Reference-layout RealBasicVSR state dict with random weights
+    (shared with tests/test_acceptance.py)."""
+
+    def rb(prefix, cin, cout, n):
+        sd = {}
+        sd[f"{prefix}.conv.0.weight"] = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32)
+        sd[f"{prefix}.conv.0.bias"] = rng.standard_normal(cout).astype(np.float32)
+        for i in range(n):
+            for c in ("conv1", "conv2"):
+                sd[f"{prefix}.res_block.{i}.{c}.weight"] = rng.standard_normal(
+                    (cout, cout, 3, 3)
+                ).astype(np.float32)
+                sd[f"{prefix}.res_block.{i}.{c}.bias"] = rng.standard_normal(cout).astype(np.float32)
+        return sd
+
+    sd = {}
+    sd.update(rb("cleaner.resblock", 3, mid, cleaning))
+    sd["cleaner.conv.weight"] = rng.standard_normal((3, mid, 3, 3)).astype(np.float32)
+    sd["cleaner.conv.bias"] = rng.standard_normal(3).astype(np.float32)
+    sd.update(rb("basicvsr.backward_resblocks", mid + 3, mid, blocks))
+    sd.update(rb("basicvsr.forward_resblocks", mid + 3, mid, blocks))
+    sd["basicvsr.point_conv.0.weight"] = rng.standard_normal((mid, 2 * mid, 1, 1)).astype(np.float32)
+    sd["basicvsr.point_conv.0.bias"] = rng.standard_normal(mid).astype(np.float32)
+    for i in range(2):
+        sd[f"basicvsr.upsample.{i}.upconv.weight"] = rng.standard_normal(
+            (mid * 4, mid, 3, 3)
+        ).astype(np.float32)
+        sd[f"basicvsr.upsample.{i}.upconv.bias"] = rng.standard_normal(mid * 4).astype(np.float32)
+    sd["basicvsr.conv_last.0.weight"] = rng.standard_normal((64, mid, 3, 3)).astype(np.float32)
+    sd["basicvsr.conv_last.0.bias"] = rng.standard_normal(64).astype(np.float32)
+    sd["basicvsr.conv_last.2.weight"] = rng.standard_normal((3, 64, 3, 3)).astype(np.float32)
+    sd["basicvsr.conv_last.2.bias"] = rng.standard_normal(3).astype(np.float32)
+    sd.update(synth_spynet_sd(rng, prefix="basicvsr.spynet."))
+    return sd
+
+
 class TestRealBasicVSRImport:
     def test_structure_matches_init(self, rng):
         mid, blocks, cleaning = 8, 2, 1
-
-        def rb(prefix, cin, cout, n):
-            sd = {}
-            sd[f"{prefix}.conv.0.weight"] = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32)
-            sd[f"{prefix}.conv.0.bias"] = rng.standard_normal(cout).astype(np.float32)
-            for i in range(n):
-                for c in ("conv1", "conv2"):
-                    sd[f"{prefix}.res_block.{i}.{c}.weight"] = rng.standard_normal(
-                        (cout, cout, 3, 3)
-                    ).astype(np.float32)
-                    sd[f"{prefix}.res_block.{i}.{c}.bias"] = rng.standard_normal(cout).astype(np.float32)
-            return sd
-
-        sd = {}
-        sd.update(rb("cleaner.resblock", 3, mid, cleaning))
-        sd["cleaner.conv.weight"] = rng.standard_normal((3, mid, 3, 3)).astype(np.float32)
-        sd["cleaner.conv.bias"] = rng.standard_normal(3).astype(np.float32)
-        sd.update(rb("basicvsr.backward_resblocks", mid + 3, mid, blocks))
-        sd.update(rb("basicvsr.forward_resblocks", mid + 3, mid, blocks))
-        sd["basicvsr.point_conv.0.weight"] = rng.standard_normal((mid, 2 * mid, 1, 1)).astype(np.float32)
-        sd["basicvsr.point_conv.0.bias"] = rng.standard_normal(mid).astype(np.float32)
-        for i in range(2):
-            sd[f"basicvsr.upsample.{i}.upconv.weight"] = rng.standard_normal(
-                (mid * 4, mid, 3, 3)
-            ).astype(np.float32)
-            sd[f"basicvsr.upsample.{i}.upconv.bias"] = rng.standard_normal(mid * 4).astype(np.float32)
-        sd["basicvsr.conv_last.0.weight"] = rng.standard_normal((64, mid, 3, 3)).astype(np.float32)
-        sd["basicvsr.conv_last.0.bias"] = rng.standard_normal(64).astype(np.float32)
-        sd["basicvsr.conv_last.2.weight"] = rng.standard_normal((3, 64, 3, 3)).astype(np.float32)
-        sd["basicvsr.conv_last.2.bias"] = rng.standard_normal(3).astype(np.float32)
-        sd.update(synth_spynet_sd(rng, prefix="basicvsr.spynet."))
+        sd = synth_realbasicvsr_sd(rng, mid, blocks, cleaning)
 
         params = load_torch_realbasicvsr(sd)
         model = RealBasicVSR(mid_channels=mid, res_blocks=blocks, cleaning_blocks=cleaning)
