@@ -364,5 +364,7 @@ class TestEntryContract:
             timeout=2400,  # cold-cache CPU compile can take ~20 min here
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
-        assert "dryrun_multichip OK" in proc.stdout
-        assert "dryrun_multichip TP OK" in proc.stdout
+        # the child logs elapsed-time-stamped lines: "dryrun_multichip
+        # [+ 15.8s] OK: mesh=..." then "... TP OK: mesh=..."
+        assert "OK: mesh={'data': 4, 'time': 2}" in proc.stdout
+        assert "TP OK: mesh={'data': 4, 'model': 2}" in proc.stdout
