@@ -214,9 +214,12 @@ class TestTinyVRT:
         assert flow_norm == 0.0
 
     @pytest.mark.parametrize(
-        # chunks=4 (the padding case) stays default; the exact-divisor
-        # case is slow-tier (same code path minus the padding branch)
-        "chunks", [pytest.param(3, marks=pytest.mark.slow), 4]
+        # both tiers are slow: the default tier keeps align_chunks
+        # equality coverage through the faster harness-level
+        # test_evaluation::test_sweep_align_chunks_matches; these pin
+        # the stronger VRT-level bit-equality (padding + exact-divisor)
+        "chunks", [pytest.param(3, marks=pytest.mark.slow),
+                   pytest.param(4, marks=pytest.mark.slow)]
     )
     def test_align_chunks_match_batched(self, rng, model_and_vars, chunks):
         """align_chunks (scan-chunked parallel warping — the lever that
