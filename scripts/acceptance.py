@@ -47,7 +47,7 @@ PUBLISHED = {
 def build_model(name: str, args):
     import jax.numpy as jnp
 
-    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if name == "realbasicvsr":
         from vsrlab_tpu.models import RealBasicVSR
 
@@ -115,8 +115,12 @@ def main(argv=None) -> int:
     ap.add_argument("--published-ssim", type=float, default=None)
     ap.add_argument("--y", action="store_true",
                     help="Y-channel (BT.601) metrics — the Vimeo/Vid4 protocol")
-    ap.add_argument("--fp32", action="store_true",
-                    help="fp32 compute (default bf16, the serving dtype)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute (the serving dtype). Default is "
+                         "fp32: a 0.05 dB gate must not spend its budget "
+                         "on compute-dtype rounding — measure the "
+                         "serving dtype separately once fp32 parity "
+                         "holds")
     ap.add_argument("--tile", type=int, default=0,
                     help="spatial tiling for inputs whose single-pass "
                          "program exceeds HBM (evaluation/tiled.py)")

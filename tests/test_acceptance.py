@@ -65,7 +65,7 @@ def assets(tmp_path_factory):
 
 
 ARGS = ["--model", "realbasicvsr", "--mid-channels", "8", "--res-blocks",
-        "2", "--cleaning-blocks", "1", "--window", "2", "--fp32"]
+        "2", "--cleaning-blocks", "1", "--window", "2"]
 
 
 def run(acceptance, capsys, argv):
