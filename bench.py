@@ -30,11 +30,18 @@ not one subprocess per leg — because every fresh TPU process on this box
 pays the axon-tunnel congestion stall (measured 140-240 s on the first
 device call after ANY previous TPU process exits) plus a persistent-
 cache client load; per-leg subprocesses lost all three secondary
-metrics to those stalls twice in a row. The headline legs can never be
+metrics to those stalls twice in a row. The headline leg can never be
 starved by the secondary legs, a timed-out leg keeps its already-printed
-partial metrics and is noted (the worker is killed and later legs skip),
-a leg that raises is noted without sinking the others, and phase timings
-go to stderr for diagnosability.
+partial metrics and is noted, a leg that raises is noted without sinking
+the others, and phase timings go to stderr for diagnosability.
+
+Two more hardenings from observed tunnel weather: the congestion can
+wedge ANY device call, not just the first (observed: warmup 1.9 s,
+inference clean, then the train step's first call wedged >370 s), so
+(a) the train metrics run as their own CAPPED leg (``LEG_CAP_S``)
+rather than inside the headline leg, and (b) after a wedged leg kills
+the worker, the orchestrator RESPAWNS a fresh worker for the remaining
+legs when budget allows instead of skipping them all.
 """
 
 from __future__ import annotations
@@ -233,13 +240,30 @@ def leg_headline() -> None:
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
-    # the PRIMARY metric lands even if the train-step cold compile
-    # (~110 s, the leg's long pole) outlives the leg timeout
     print(json.dumps(out), flush=True)
 
+
+def leg_train() -> None:
+    """Train-step metrics as their OWN leg (not part of the headline):
+    a mid-run tunnel wedge in the train leg then costs only this leg's
+    capped timeout instead of the headline leg's full budget (observed:
+    warmup 1.9 s, inference clean at +40 s, then the train first call
+    wedged >370 s — the congestion can strike ANY call, not just the
+    first)."""
+    import jax.numpy as jnp
+
+    from vsrlab_tpu.models import RealBasicVSR
+    from vsrlab_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    model = RealBasicVSR(
+        mid_channels=64, res_blocks=30, cleaning_blocks=20, dtype=jnp.bfloat16
+    )
     train_fps, train_ms, train_mfu = bench_train(model)
-    out["train_fps"] = round(train_fps, 3)
-    out["train_step_ms"] = round(train_ms, 2)
+    out = {
+        "train_fps": round(train_fps, 3),
+        "train_step_ms": round(train_ms, 2),
+    }
     if train_mfu is not None:
         out["train_mfu"] = round(train_mfu, 4)
     print(json.dumps(out), flush=True)
@@ -398,9 +422,21 @@ def leg_serving() -> None:
 LEGS = {
     "warmup": leg_warmup,
     "headline": leg_headline,
+    "train": leg_train,
     "vrt_tiny": leg_vrt_tiny,
     "serving": leg_serving,
     "vrt_full": leg_vrt_full,
+}
+
+# per-leg wall-clock caps (seconds), applied on top of the remaining
+# budget: a tunnel wedge inside one leg must not consume every later
+# leg's share. Warm timings: train ≈90 s (init 20 + compile 30 + first
+# call 20 + timing 25), serving ≈30 s, vrt_full ≈120 s, vrt_tiny ≈40 s.
+LEG_CAP_S = {
+    "train": 180.0,
+    "serving": 120.0,
+    "vrt_full": 240.0,
+    "vrt_tiny": 120.0,
 }
 
 
@@ -559,8 +595,11 @@ def main() -> None:
         "warmup", timeout_s=budget - 120, kill_on_timeout=False
     )
 
+    def remaining() -> float:
+        return budget - (time.monotonic() - _T0) - 10
+
     headline, note = server.run_leg(
-        "headline", timeout_s=budget - (time.monotonic() - _T0) - 10,
+        "headline", timeout_s=remaining(),
         echo=True,  # the inference line must survive a parent kill
     )
     if headline is not None and warm:
@@ -576,27 +615,37 @@ def main() -> None:
         }), flush=True)
         sys.exit(1)
     if note:
-        headline["headline_note"] = note  # partial (e.g. train timed out)
+        headline["headline_note"] = note
     print(json.dumps(headline), flush=True)  # headline lands FIRST
 
     out = dict(headline)
     printed = True
-    # cheapest first, then by value: serving ≈25 s warm; vrt_full is the
-    # flagship secondary (the hard-won single-pass full-config number)
-    # and outranks vrt_tiny when the tunnel stall has eaten the budget
-    for leg in ("serving", "vrt_full", "vrt_tiny"):
-        remaining = budget - (time.monotonic() - _T0) - 10
-        if remaining <= 30 or server.dead:
+    # by value: train carries the verdict-tracked train_step_ms;
+    # serving is cheapest; vrt_full is the flagship secondary (the
+    # hard-won single-pass full-config number) and outranks vrt_tiny
+    # when a stall has eaten the budget
+    for leg in ("train", "serving", "vrt_full", "vrt_tiny"):
+        rem = remaining()
+        if server.dead and rem > 90:
+            # a wedged leg killed the worker; a FRESH worker can still
+            # land the remaining legs (it re-pays the first-contact
+            # stall inside its own leg timeouts)
+            _log("respawning worker after wedge")
+            server = _LegServer()
+            out["worker_respawns"] = out.get("worker_respawns", 0) + 1
+        if rem <= 30 or server.dead:
             out[f"{leg}_note"] = (
                 "skipped (worker dead)" if server.dead else "skipped (budget)"
             )
             printed = False
             continue
-        vrt, vnote = server.run_leg(leg, timeout_s=remaining)
-        if vrt:
-            out.update(vrt)
-        if vnote:
-            out[f"{leg}_note"] = vnote
+        res, lnote = server.run_leg(
+            leg, timeout_s=min(rem, LEG_CAP_S.get(leg, rem))
+        )
+        if res:
+            out.update(res)
+        if lnote:
+            out[f"{leg}_note"] = lnote
         # merged line after EVERY leg: a kill during the next leg can
         # never lose an already-measured number
         out["bench_wall_s"] = round(time.monotonic() - _T0, 1)

@@ -45,7 +45,9 @@ def emit(o):
 
 for line in sys.stdin:
     name = line.strip()
-    if name == "good":
+    if name == "prime":
+        emit({"pid": os.getpid()})
+    elif name == "good":
         emit({"a": 1})
         emit({"a": 1, "b": 2, "pid": os.getpid()})
     elif name == "slow":
@@ -72,6 +74,11 @@ def server(bench, tmp_path):
     p.write_text(textwrap.dedent(FAKE_SERVE))
     bench.__file__ = str(p)
     srv = bench._LegServer()
+    # absorb worker-process startup (can exceed the short per-leg
+    # deadlines below when the box is under load) so the timed legs
+    # exercise protocol behavior, not interpreter spawn time
+    primed, pnote = srv.run_leg("prime", timeout_s=120)
+    assert pnote is None, pnote
     yield srv
     srv.kill()
 
@@ -154,5 +161,23 @@ def test_worker_crash_reports_rc_keeps_partial(server):
 
 def test_leg_registry_complete(bench):
     assert set(bench.LEGS) == {
-        "warmup", "headline", "vrt_tiny", "serving", "vrt_full"
+        "warmup", "headline", "train", "vrt_tiny", "serving", "vrt_full"
     }
+    # every capped leg exists; the contract legs (warmup/headline) are
+    # deliberately uncapped — their deadline is the whole remaining budget
+    assert set(bench.LEG_CAP_S) == {"train", "serving", "vrt_full", "vrt_tiny"}
+
+
+def test_respawn_after_wedge_serves_later_legs(bench, server):
+    """The orchestrator's wedge-recovery move: after a timeout kills the
+    worker, a FRESH _LegServer (same construction path main() uses)
+    serves the remaining legs in a new process."""
+    parsed, note = server.run_leg("slow", timeout_s=3)
+    assert note == "timeout" and server.dead
+    fresh = bench._LegServer()
+    try:
+        parsed2, note2 = fresh.run_leg("good", timeout_s=120)
+        assert note2 is None and parsed2["b"] == 2
+        assert parsed2["pid"] != parsed["pid"]  # genuinely a new worker
+    finally:
+        fresh.kill()
