@@ -168,6 +168,99 @@ def test_leg_registry_complete(bench):
     assert set(bench.LEG_CAP_S) == {"train", "serving", "vrt_full", "vrt_tiny"}
 
 
+FAKE_MAIN_SERVE = """
+import json, os, sys, time
+
+def emit(o):
+    print(json.dumps(o), flush=True)
+
+wedge = os.environ.get("FAKE_WEDGE", "")
+fail_headline = os.environ.get("FAKE_FAIL_HEADLINE", "")
+for line in sys.stdin:
+    name = line.strip()
+    if name == wedge:
+        time.sleep(120)
+    elif name == "warmup":
+        emit({"tunnel_warmup_s": 0.1})
+    elif name == "headline":
+        if fail_headline:
+            emit({"__leg_error__": "headline: RuntimeError('boom')"})
+        else:
+            emit({"metric": "m", "value": 1.0, "unit": "u",
+                  "vs_baseline": 1.0})
+    elif name == "train":
+        emit({"train_step_ms": 2.0, "worker_pid": os.getpid()})
+    elif name == "serving":
+        emit({"serve_b2_720p_fps": 3.0, "worker_pid": os.getpid()})
+    elif name == "vrt_full":
+        emit({"vrt_full_16f256_fps": 4.0})
+    elif name == "vrt_tiny":
+        emit({"vrt_tiny_6f64_fps": 5.0})
+    emit({"__leg_done__": name})
+"""
+
+
+@pytest.fixture()
+def main_bench(bench, tmp_path, monkeypatch):
+    """bench.main() wired to the fake worker with test-sized deadlines."""
+    p = tmp_path / "fake_main_serve.py"
+    p.write_text(textwrap.dedent(FAKE_MAIN_SERVE))
+    bench.__file__ = str(p)
+    monkeypatch.setattr(bench, "LEG_CAP_S",
+                        {k: 8.0 for k in bench.LEG_CAP_S})
+    monkeypatch.setenv("VSRLAB_BENCH_BUDGET_S", "150")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    return bench
+
+
+def _stdout_json(capsys):
+    return [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+
+
+def test_main_happy_path_merges_all_legs(main_bench, capsys):
+    main_bench.main()
+    lines = _stdout_json(capsys)
+    # headline (echoed + merged) lands before any secondary leg
+    assert lines[0]["value"] == 1.0
+    final = lines[-1]
+    assert final["tunnel_warmup_s"] == 0.1
+    assert final["train_step_ms"] == 2.0
+    assert final["serve_b2_720p_fps"] == 3.0
+    assert final["vrt_full_16f256_fps"] == 4.0
+    assert final["vrt_tiny_6f64_fps"] == 5.0
+    assert "worker_respawns" not in final
+    # one worker served every leg: the merge after "train" carries the
+    # train leg's pid, the final line carries "serving"'s
+    assert final["worker_pid"] == lines[-4]["worker_pid"]
+
+
+def test_main_respawns_after_wedged_leg(main_bench, capsys, monkeypatch):
+    """A wedged train leg must cost only its cap: the orchestrator
+    respawns a fresh worker and the remaining legs still land."""
+    monkeypatch.setenv("FAKE_WEDGE", "train")
+    main_bench.main()
+    final = _stdout_json(capsys)[-1]
+    assert final["value"] == 1.0
+    assert final["train_note"] == "timeout"
+    assert "train_step_ms" not in final
+    assert final["worker_respawns"] == 1
+    # the legs after the wedge landed in the fresh worker
+    assert final["serve_b2_720p_fps"] == 3.0
+    assert final["vrt_full_16f256_fps"] == 4.0
+    assert final["vrt_tiny_6f64_fps"] == 5.0
+
+
+def test_main_headline_failure_exits_nonzero(main_bench, capsys,
+                                             monkeypatch):
+    monkeypatch.setenv("FAKE_FAIL_HEADLINE", "1")
+    with pytest.raises(SystemExit) as ei:
+        main_bench.main()
+    assert ei.value.code == 1
+    final = _stdout_json(capsys)[-1]
+    assert final["value"] is None and "error" in final
+
+
 def test_respawn_after_wedge_serves_later_legs(bench, server):
     """The orchestrator's wedge-recovery move: after a timeout kills the
     worker, a FRESH _LegServer (same construction path main() uses)
