@@ -419,6 +419,96 @@ def leg_serving() -> None:
     ), flush=True)
 
 
+def leg_flow() -> None:
+    """Driver bench config #1 (BASELINE.json): SpyNet optical-flow
+    inference on one 2-frame 180×320 pair."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vsrlab_tpu.models import SpyNet
+    from vsrlab_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(4)
+    model = SpyNet(dtype=jnp.bfloat16)
+    ref = jnp.asarray(rng.random((1, 180, 320, 3)), jnp.float32)
+    supp = jnp.asarray(rng.random((1, 180, 320, 3)), jnp.float32)
+    _log("flow: init")
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), ref, supp)
+
+    @jax.jit
+    def fwd(v, a, b):
+        return jnp.sum(model.apply(v, a, b))
+
+    def call_and_sync(n):
+        s = None
+        for _ in range(n):
+            s = fwd(v, ref, supp)
+        float(s)
+
+    _log("flow: compile+timing")
+    dt = _best_time(call_and_sync, n_iters=20)
+    _log("flow: done")
+    print(json.dumps({"spynet_pair_ms": round(dt * 1e3, 3)}), flush=True)
+
+
+def leg_gan() -> None:
+    """Driver bench config #4 (BASELINE.json): one jitted GAN train step
+    — generator fwd + pixel/perceptual/adversarial losses + grads +
+    adam, then discriminator real/fake BCE + grads + adam — at the bench
+    train shape (reference hot loop src/train_gan.py:89-133)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vsrlab_tpu.core.perceptual import PerceptualLoss
+    from vsrlab_tpu.models import RealBasicVSR, UNetDiscriminator
+    from vsrlab_tpu.train.gan import make_gan_train_step
+    from vsrlab_tpu.train.state import create_train_state
+    from vsrlab_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    b, t, h, w, s = 4, 6, 64, 64, 4
+    rng = np.random.default_rng(5)
+    batch = {
+        "lr": jnp.asarray(rng.random((b, t, h, w, 3)), jnp.float32),
+        "hr": jnp.asarray(rng.random((b, t, h * s, w * s, 3)), jnp.float32),
+    }
+    model = RealBasicVSR(
+        mid_channels=64, res_blocks=30, cleaning_blocks=20, dtype=jnp.bfloat16
+    )
+    disc = UNetDiscriminator(mid_channels=64, dtype=jnp.bfloat16)
+
+    def tx():
+        return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+
+    _log("gan: init states")
+    g = create_train_state(model, jax.random.PRNGKey(0), batch["lr"], tx())
+    d = create_train_state(
+        disc, jax.random.PRNGKey(1),
+        jnp.zeros((b * t, h * s, w * s, 3), jnp.float32), tx(),
+    )
+    step = make_gan_train_step(
+        model, disc, PerceptualLoss(weight=1e-2), 2e-5, True, donate=False
+    )
+    _log("gan: trace+compile")
+    compiled = step.lower(g, d, batch).compile()
+
+    def call_and_sync(n):
+        nonlocal g, d
+        m = None
+        for _ in range(n):
+            g, d, m = compiled(g, d, batch)
+        float(m["Loss"])
+
+    _log("gan: timing")
+    dt = _best_time(call_and_sync)
+    _log("gan: done")
+    print(json.dumps({"gan_step_ms": round(dt * 1e3, 2)}), flush=True)
+
+
 LEGS = {
     "warmup": leg_warmup,
     "headline": leg_headline,
@@ -426,6 +516,8 @@ LEGS = {
     "vrt_tiny": leg_vrt_tiny,
     "serving": leg_serving,
     "vrt_full": leg_vrt_full,
+    "flow": leg_flow,
+    "gan": leg_gan,
 }
 
 # per-leg wall-clock caps (seconds), applied on top of the remaining
@@ -437,6 +529,8 @@ LEG_CAP_S = {
     "serving": 120.0,
     "vrt_full": 240.0,
     "vrt_tiny": 120.0,
+    "flow": 90.0,
+    "gan": 150.0,
 }
 
 
@@ -620,11 +714,11 @@ def main() -> None:
 
     out = dict(headline)
     printed = True
-    # by value: train carries the verdict-tracked train_step_ms;
-    # serving is cheapest; vrt_full is the flagship secondary (the
-    # hard-won single-pass full-config number) and outranks vrt_tiny
-    # when a stall has eaten the budget
-    for leg in ("train", "serving", "vrt_full", "vrt_tiny"):
+    # by value: train carries the verdict-tracked train_step_ms; serving
+    # is cheapest; vrt_full is the flagship secondary; flow (driver
+    # config #1, ~25 s) outranks vrt_tiny (not a driver config); gan is
+    # last (driver config #4 but the most expensive warm leg)
+    for leg in ("train", "serving", "vrt_full", "flow", "vrt_tiny", "gan"):
         rem = remaining()
         if server.dead and rem > 90:
             # a wedged leg killed the worker; a FRESH worker can still

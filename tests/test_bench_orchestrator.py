@@ -161,11 +161,12 @@ def test_worker_crash_reports_rc_keeps_partial(server):
 
 def test_leg_registry_complete(bench):
     assert set(bench.LEGS) == {
-        "warmup", "headline", "train", "vrt_tiny", "serving", "vrt_full"
+        "warmup", "headline", "train", "vrt_tiny", "serving", "vrt_full",
+        "flow", "gan",
     }
-    # every capped leg exists; the contract legs (warmup/headline) are
-    # deliberately uncapped — their deadline is the whole remaining budget
-    assert set(bench.LEG_CAP_S) == {"train", "serving", "vrt_full", "vrt_tiny"}
+    # every secondary leg is capped; the contract legs (warmup/headline)
+    # are deliberately uncapped — their deadline is the remaining budget
+    assert set(bench.LEG_CAP_S) == set(bench.LEGS) - {"warmup", "headline"}
 
 
 FAKE_MAIN_SERVE = """
@@ -196,6 +197,10 @@ for line in sys.stdin:
         emit({"vrt_full_16f256_fps": 4.0})
     elif name == "vrt_tiny":
         emit({"vrt_tiny_6f64_fps": 5.0})
+    elif name == "flow":
+        emit({"spynet_pair_ms": 6.0})
+    elif name == "gan":
+        emit({"gan_step_ms": 7.0, "worker_pid": os.getpid()})
     emit({"__leg_done__": name})
 """
 
@@ -229,10 +234,12 @@ def test_main_happy_path_merges_all_legs(main_bench, capsys):
     assert final["serve_b2_720p_fps"] == 3.0
     assert final["vrt_full_16f256_fps"] == 4.0
     assert final["vrt_tiny_6f64_fps"] == 5.0
+    assert final["spynet_pair_ms"] == 6.0
+    assert final["gan_step_ms"] == 7.0
     assert "worker_respawns" not in final
-    # one worker served every leg: the merge after "train" carries the
-    # train leg's pid, the final line carries "serving"'s
-    assert final["worker_pid"] == lines[-4]["worker_pid"]
+    # one worker served every leg: train/serving/gan all stamp their pid
+    pids = {l["worker_pid"] for l in lines if "worker_pid" in l}
+    assert len(pids) == 1
 
 
 def test_main_respawns_after_wedged_leg(main_bench, capsys, monkeypatch):
