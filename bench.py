@@ -41,7 +41,23 @@ inference clean, then the train step's first call wedged >370 s), so
 (a) the train metrics run as their own CAPPED leg (``LEG_CAP_S``)
 rather than inside the headline leg, and (b) after a wedged leg kills
 the worker, the orchestrator RESPAWNS a fresh worker for the remaining
-legs when budget allows instead of skipping them all.
+legs when budget allows instead of skipping them all — running the
+no-kill warmup leg on the fresh worker first, so the respawned
+process's own first-contact stall lands on a free op instead of
+inside the next metric leg's cap (ADVICE r4).
+
+Round-5 delivery hardening (VERDICT r4 weak #1-3: a ~400 s stall wiped
+every secondary metric off two consecutive official scoreboards even
+though all five were measured on-chip): (a) the headline, train,
+serving and gan legs share ONE worker-resident RealBasicVSR param tree
+(``_WORKER_CACHE``) instead of re-initializing per leg; (b) every
+timed leg streams a PROVISIONAL metric line from its first timed call
+before refining it with best-of-repeats, so a wedge mid-timing keeps
+the number (the orchestrator's last-parsed-line-wins contract was
+already built for this); (c) legs run cheapest-first after the
+headline (train → serving → flow), and the budget constants are
+module-level so ``tests/test_bench_orchestrator.py`` can simulate a
+400 s stall at 1/12 scale and assert ≥4 metrics survive.
 """
 
 from __future__ import annotations
@@ -59,6 +75,16 @@ A100_FPS_ANCHOR = 3.4
 TARGET_MULTIPLE = 3.0
 V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, TPU v5e
 
+# budget arithmetic (module-level so the orchestrator tests can run a
+# scaled-down stall simulation against the REAL main() logic)
+RESERVE_S = 10.0  # end-of-budget slack withheld from every leg deadline
+# don't start a leg with less than this remaining: the cheapest legs
+# (flow/serving) stream their first provisional ~10 s in, so a 12 s
+# window can still land a number
+SKIP_BELOW_S = 12.0
+WARMUP_RESERVE_S = 120.0  # budget held back from the warmup deadline
+RESPAWN_MIN_S = 90.0  # min remaining budget to respawn a dead worker
+
 _T0 = time.monotonic()
 
 
@@ -72,11 +98,59 @@ def _log(msg: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _best_time(call_and_sync, n_iters=5, repeats=3) -> float:
-    """Tunnel-safe best-of-repeats timing (vsrlab_tpu.utils.best_time)."""
+def _best_time(call_and_sync, n_iters=5, repeats=3, emit=None) -> float:
+    """Tunnel-safe best-of-repeats timing (vsrlab_tpu.utils.best_time).
+
+    ``emit(seconds) -> dict`` (optional) turns every best-so-far
+    measurement — including the warm call, which every leg makes honest
+    by issuing its own first execution beforehand — into a PROVISIONAL
+    metric line streamed to stdout immediately. The orchestrator's
+    last-parsed-line-wins contract then keeps the freshest number even
+    if the tunnel wedges mid-timing (VERDICT r4 weak #2: the train leg
+    measured its step fine and still scored "timeout" because it only
+    printed at leg end)."""
     from vsrlab_tpu.utils import best_time
 
-    return best_time(call_and_sync, n_iters, repeats)
+    on_best = None
+    if emit is not None:
+        def on_best(dt):
+            print(json.dumps({**emit(dt), "provisional": True}), flush=True)
+
+    return best_time(call_and_sync, n_iters, repeats, on_best=on_best)
+
+
+_WORKER_CACHE: dict = {}
+
+
+def _rbvsr():
+    """Worker-resident RealBasicVSR ``(model, params)``.
+
+    Built ONCE per worker process and shared by the headline, train,
+    serving and gan legs: re-initialising the identical param tree cost
+    the train leg a measured 18 s of its 47 s budget residue in the r4
+    driver run (BENCH_r04 tail: "train: init state" 421.9 → "trace+
+    compile" 440.1), which is most of why it missed. Params are init at
+    a tiny input shape — the model is fully convolutional, so the tree
+    is identical to a 720p init but the init program compiles+runs in
+    seconds (CLAUDE.md: never pay oversized work through the tunnel).
+    """
+    if "rbvsr" not in _WORKER_CACHE:
+        import jax
+        import jax.numpy as jnp
+
+        from vsrlab_tpu.models import RealBasicVSR
+        from vsrlab_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+        model = RealBasicVSR(
+            mid_channels=64, res_blocks=30, cleaning_blocks=20,
+            dtype=jnp.bfloat16,
+        )
+        _log("rbvsr: init params (tiny shape, once per worker)")
+        lr0 = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), lr0)["params"]
+        _WORKER_CACHE["rbvsr"] = (model, params)
+    return _WORKER_CACHE["rbvsr"]
 
 
 def _flops_of(compiled) -> float | None:
@@ -134,18 +208,28 @@ def bench_inference(model, params):
         float(s)
 
     _log("inference: timing")
-    dt = _best_time(call_and_sync)
+    dt = _best_time(call_and_sync, emit=lambda d: _headline_line(t_frames / d))
     flops = _flops_of(compiled)
     mfu = (flops / dt / V5E_PEAK_FLOPS) if flops else None
     _log(f"inference: done ({t_frames / dt:.2f} fps)")
     return t_frames / dt, mfu
 
 
-def bench_train(model):
+def _headline_line(fps: float) -> dict:
+    return {
+        "metric": "realbasicvsr_4x_720p_inference",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / (TARGET_MULTIPLE * A100_FPS_ANCHOR), 3),
+    }
+
+
+def bench_train(model, params):
     """Jitted supervised train step (fwd + cleaning loss + grads + clip +
     adam update) at a reference-like training shape: microbatch 4 of
     6-frame 64×64 LR crops (conf basic experiment trains 32/4-accum crops
-    of this size; reference hot loop src/train.py:85-101)."""
+    of this size; reference hot loop src/train.py:85-101). ``params`` is
+    the worker-resident tree the headline leg already built."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -160,8 +244,16 @@ def bench_train(model):
         "hr": jnp.asarray(rng.random((b, t, h * scale, w * scale, 3)), jnp.float32),
     }
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
-    _log("train: init state")
-    state = create_train_state(model, jax.random.PRNGKey(0), batch["lr"], tx)
+    _log("train: wrap worker-resident params in a state")
+
+    # jit the wrap: eager tx.init would dispatch two zeros_like per param
+    # leaf (~500 tiny ops) through the axon tunnel; as ONE program it's
+    # sub-second
+    @jax.jit
+    def wrap(p):
+        return create_train_state(model, None, None, tx, variables={"params": p})
+
+    state = wrap(params)
     step = make_supervised_train_step(model, donate=False)
 
     _log("train: trace+compile step")
@@ -177,8 +269,12 @@ def bench_train(model):
             state, m = compiled(state, batch)
         float(m["Loss"])
 
+    def emit(d):
+        return {"train_fps": round(b * t / d, 3),
+                "train_step_ms": round(d * 1e3, 2)}
+
     _log("train: timing")
-    dt = _best_time(call_and_sync)
+    dt = _best_time(call_and_sync, emit=emit)
     flops = _flops_of(compiled)
     mfu = (flops / dt / V5E_PEAK_FLOPS) if flops else None
     _log(f"train: done ({dt * 1e3:.1f} ms/step)")
@@ -212,32 +308,9 @@ def leg_warmup() -> None:
 
 
 def leg_headline() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from vsrlab_tpu.models import RealBasicVSR
-    from vsrlab_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
-    model = RealBasicVSR(
-        mid_channels=64, res_blocks=30, cleaning_blocks=20, dtype=jnp.bfloat16
-    )
-    # init at a TINY shape: the model is fully convolutional, so the
-    # param tree is identical to a 720p init but the init program
-    # compiles+runs in seconds instead of tens (CLAUDE.md: never pay
-    # un-jitted/oversized work through the axon tunnel)
-    _log("headline: init params (tiny shape)")
-    lr0 = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), lr0)
-    params = variables["params"]
-
+    model, params = _rbvsr()
     fps, mfu = bench_inference(model, params)
-    out = {
-        "metric": "realbasicvsr_4x_720p_inference",
-        "value": round(fps, 3),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / (TARGET_MULTIPLE * A100_FPS_ANCHOR), 3),
-    }
+    out = _headline_line(fps)
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
     print(json.dumps(out), flush=True)
@@ -249,17 +322,9 @@ def leg_train() -> None:
     capped timeout instead of the headline leg's full budget (observed:
     warmup 1.9 s, inference clean at +40 s, then the train first call
     wedged >370 s — the congestion can strike ANY call, not just the
-    first)."""
-    import jax.numpy as jnp
-
-    from vsrlab_tpu.models import RealBasicVSR
-    from vsrlab_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
-    model = RealBasicVSR(
-        mid_channels=64, res_blocks=30, cleaning_blocks=20, dtype=jnp.bfloat16
-    )
-    train_fps, train_ms, train_mfu = bench_train(model)
+    first). Reuses the worker-resident param tree."""
+    model, params = _rbvsr()
+    train_fps, train_ms, train_mfu = bench_train(model, params)
     out = {
         "train_fps": round(train_fps, 3),
         "train_step_ms": round(train_ms, 2),
@@ -304,10 +369,14 @@ def leg_vrt_tiny() -> None:
             s = tiny_fwd(tv, x)
         float(s)
 
-    _log("vrt: tiny compile+timing")
-    out = {"vrt_tiny_6f64_fps": round(6 / _best_time(tiny_sync), 2)}
+    _log("vrt: tiny compile+first call")
+    tiny_sync(1)  # absorb compile so the streamed provisionals are honest
+    _log("vrt: tiny timing")
+    dt = _best_time(
+        tiny_sync, emit=lambda d: {"vrt_tiny_6f64_fps": round(6 / d, 2)}
+    )
     _log("vrt: tiny done")
-    print(json.dumps(out), flush=True)
+    print(json.dumps({"vrt_tiny_6f64_fps": round(6 / dt, 2)}), flush=True)
 
 
 def leg_vrt_full() -> None:
@@ -353,8 +422,13 @@ def leg_vrt_full() -> None:
             acc = full_fwd(fv, clip)
         float(acc)
 
-    _log("vrt: full compile+timing")
-    dt = _best_time(full_sync, n_iters=1, repeats=2)
+    _log("vrt: full compile+first call")
+    full_sync(1)  # absorb compile so the streamed provisionals are honest
+    _log("vrt: full timing")
+    dt = _best_time(
+        full_sync, n_iters=1, repeats=2,
+        emit=lambda d: {"vrt_full_16f256_fps": round(t / d, 3)},
+    )
     _log("vrt: full done")
     print(json.dumps({"vrt_full_16f256_fps": round(t / dt, 3)}), flush=True)
 
@@ -368,22 +442,12 @@ def leg_serving() -> None:
     pressure; the 2.2× conv-chain batch win only exists at 64×64 train
     crops). Same compiler options as the headline leg, so the two fps
     keys are apples-to-apples. The reference bench is single-clip only
-    (src/params.py:115-127)."""
+    (src/params.py:115-127). Reuses the worker-resident param tree."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from vsrlab_tpu.models import RealBasicVSR
-    from vsrlab_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
-    model = RealBasicVSR(
-        mid_channels=64, res_blocks=30, cleaning_blocks=20, dtype=jnp.bfloat16
-    )
-    lr0 = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
-    _log("serving: init params (tiny shape)")
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), lr0)["params"]
-
+    model, params = _rbvsr()
     b, t_frames = 2, 10
     lr = jnp.asarray(
         np.random.default_rng(3).random((b, t_frames, 180, 320, 3)),
@@ -412,7 +476,14 @@ def leg_serving() -> None:
         float(s)
 
     _log("serving: timing")
-    dt = _best_time(call_and_sync)
+    # n_iters=3: each call is ~0.61 s (20 frames at ~33 total fps); 3×3
+    # calls bound the timing tail at ~6 s so the leg fits the post-stall
+    # residue (the headline leg is the precision fps number; this one
+    # tracks batching headroom)
+    dt = _best_time(
+        call_and_sync, n_iters=3,
+        emit=lambda d: {"serve_b2_720p_fps": round(b * t_frames / d, 2)},
+    )
     _log("serving: done")
     print(json.dumps(
         {"serve_b2_720p_fps": round(b * t_frames / dt, 2)}
@@ -447,8 +518,13 @@ def leg_flow() -> None:
             s = fwd(v, ref, supp)
         float(s)
 
-    _log("flow: compile+timing")
-    dt = _best_time(call_and_sync, n_iters=20)
+    _log("flow: compile+first call")
+    call_and_sync(1)  # absorb compile so the streamed provisionals are honest
+    _log("flow: timing")
+    dt = _best_time(
+        call_and_sync, n_iters=20,
+        emit=lambda d: {"spynet_pair_ms": round(d * 1e3, 3)},
+    )
     _log("flow: done")
     print(json.dumps({"spynet_pair_ms": round(dt * 1e3, 3)}), flush=True)
 
@@ -457,35 +533,39 @@ def leg_gan() -> None:
     """Driver bench config #4 (BASELINE.json): one jitted GAN train step
     — generator fwd + pixel/perceptual/adversarial losses + grads +
     adam, then discriminator real/fake BCE + grads + adam — at the bench
-    train shape (reference hot loop src/train_gan.py:89-133)."""
+    train shape (reference hot loop src/train_gan.py:89-133). The
+    generator reuses the worker-resident param tree."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
 
     from vsrlab_tpu.core.perceptual import PerceptualLoss
-    from vsrlab_tpu.models import RealBasicVSR, UNetDiscriminator
+    from vsrlab_tpu.models import UNetDiscriminator
     from vsrlab_tpu.train.gan import make_gan_train_step
     from vsrlab_tpu.train.state import create_train_state
-    from vsrlab_tpu.utils import enable_compilation_cache
 
-    enable_compilation_cache()
+    model, params = _rbvsr()
     b, t, h, w, s = 4, 6, 64, 64, 4
     rng = np.random.default_rng(5)
     batch = {
         "lr": jnp.asarray(rng.random((b, t, h, w, 3)), jnp.float32),
         "hr": jnp.asarray(rng.random((b, t, h * s, w * s, 3)), jnp.float32),
     }
-    model = RealBasicVSR(
-        mid_channels=64, res_blocks=30, cleaning_blocks=20, dtype=jnp.bfloat16
-    )
     disc = UNetDiscriminator(mid_channels=64, dtype=jnp.bfloat16)
 
     def tx():
         return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
 
     _log("gan: init states")
-    g = create_train_state(model, jax.random.PRNGKey(0), batch["lr"], tx())
+    txg = tx()
+
+    @jax.jit
+    def wrap(p):  # one program, not ~500 eager zeros_like dispatches
+        return create_train_state(model, None, None, txg,
+                                  variables={"params": p})
+
+    g = wrap(params)
     d = create_train_state(
         disc, jax.random.PRNGKey(1),
         jnp.zeros((b * t, h * s, w * s, 3), jnp.float32), tx(),
@@ -495,6 +575,9 @@ def leg_gan() -> None:
     )
     _log("gan: trace+compile")
     compiled = step.lower(g, d, batch).compile()
+    _log("gan: first call")
+    g, d, m = compiled(g, d, batch)
+    float(m["Loss"])
 
     def call_and_sync(n):
         nonlocal g, d
@@ -504,7 +587,9 @@ def leg_gan() -> None:
         float(m["Loss"])
 
     _log("gan: timing")
-    dt = _best_time(call_and_sync)
+    dt = _best_time(
+        call_and_sync, emit=lambda d_: {"gan_step_ms": round(d_ * 1e3, 2)}
+    )
     _log("gan: done")
     print(json.dumps({"gan_step_ms": round(dt * 1e3, 2)}), flush=True)
 
@@ -522,14 +607,17 @@ LEGS = {
 
 # per-leg wall-clock caps (seconds), applied on top of the remaining
 # budget: a tunnel wedge inside one leg must not consume every later
-# leg's share. Warm timings: train ≈90 s (init 20 + compile 30 + first
-# call 20 + timing 25), serving ≈30 s, vrt_full ≈120 s, vrt_tiny ≈40 s.
+# leg's share. Warm timings with the r5 worker-resident param cache
+# (no per-leg re-init; compiles served by the persistent cache):
+# train ≈35 s (state wrap ~0 + compile 15 + first call 10 + timing 10),
+# serving ≈20 s, flow ≈12 s, vrt_full ≈90 s, vrt_tiny ≈30 s, gan ≈60 s.
+# Caps stay ~2× the warm cost so ordinary weather doesn't kill a leg.
 LEG_CAP_S = {
-    "train": 180.0,
-    "serving": 120.0,
+    "train": 120.0,
+    "serving": 90.0,
+    "flow": 60.0,
     "vrt_full": 240.0,
     "vrt_tiny": 120.0,
-    "flow": 90.0,
     "gan": 150.0,
 }
 
@@ -572,8 +660,14 @@ class _LegServer:
         # legs submitted but not yet confirmed done (__leg_done__ unseen):
         # a leg that timed out with kill_on_timeout=False is still running
         # in the worker; its late lines must not be attributed to the next
-        # leg
+        # leg — they are buffered under the overdue leg's own name and
+        # surface in ``late_results`` once its done-sentinel arrives
+        # (ADVICE r4: the warmup leg prints tunnel_warmup_s AFTER the
+        # stall it measures, i.e. exactly when the leg is overdue; the
+        # stall duration belongs on the scoreboard of the degraded runs
+        # it characterizes)
         self._overdue: list = []
+        self.late_results: dict = {}
         self._lines: queue.Queue = queue.Queue()
         threading.Thread(target=self._pump, daemon=True).start()
 
@@ -597,7 +691,8 @@ class _LegServer:
         protect — an axon first-contact stall longer than the warmup
         deadline (measured >447 s) then only delays the headline instead
         of emptying the whole scoreboard. The overdue leg's late output
-        is discarded (never attributed to a later leg).
+        is buffered under its own name into ``late_results`` (never
+        attributed to a later leg).
         """
         if self.dead:
             return None, "skipped (worker dead)"
@@ -640,7 +735,13 @@ class _LegServer:
                     continue
                 break
             if self._overdue:
-                continue  # late line from an overdue leg: drop it
+                # late line from an overdue leg: attribute it back to
+                # THAT leg, never to the current one
+                if "__leg_error__" not in obj:
+                    self.late_results.setdefault(
+                        self._overdue[0], {}
+                    ).update(obj)
+                continue
             if "__leg_error__" in obj:
                 note = obj["__leg_error__"]
             else:
@@ -676,26 +777,31 @@ def main() -> None:
         LEGS[sys.argv[2]]()
         return
 
+    global _T0
+    _T0 = t0 = time.monotonic()  # budget clock == log clock
     budget = float(os.environ.get("VSRLAB_BENCH_BUDGET_S", "480"))
     server = _LegServer()
 
     # the first-contact stall gets its own deadline: everything after it
-    # is fast (headline ≈70 s warm), so reserve that much and let the
-    # warmup soak up whatever the tunnel costs today. A stall that blows
-    # even this deadline must NOT kill the worker — the warmup has no
-    # metrics to protect, and the headline can still land in whatever
-    # budget remains once the tunnel unwedges.
+    # is fast (headline ≈25 s warm with a hot persistent cache —
+    # BENCH_r04 tail), so reserve WARMUP_RESERVE_S and let the warmup
+    # soak up whatever the tunnel costs today. A stall that blows even
+    # this deadline must NOT kill the worker — the warmup has no metrics
+    # to protect, and the headline can still land in whatever budget
+    # remains once the tunnel unwedges (its tunnel_warmup_s line is then
+    # attributed back via late_results).
     warm, wnote = server.run_leg(
-        "warmup", timeout_s=budget - 120, kill_on_timeout=False
+        "warmup", timeout_s=budget - WARMUP_RESERVE_S, kill_on_timeout=False
     )
 
     def remaining() -> float:
-        return budget - (time.monotonic() - _T0) - 10
+        return budget - (time.monotonic() - t0) - RESERVE_S
 
     headline, note = server.run_leg(
         "headline", timeout_s=remaining(),
         echo=True,  # the inference line must survive a parent kill
     )
+    warm = warm or server.late_results.pop("warmup", None)
     if headline is not None and warm:
         headline.update(warm)
     if headline is not None and wnote:
@@ -708,26 +814,39 @@ def main() -> None:
             "error": f"headline leg failed ({note})",
         }), flush=True)
         sys.exit(1)
+    if headline.pop("provisional", None):
+        headline["headline_provisional"] = True  # wedged mid-timing
     if note:
         headline["headline_note"] = note
     print(json.dumps(headline), flush=True)  # headline lands FIRST
 
     out = dict(headline)
     printed = True
-    # by value: train carries the verdict-tracked train_step_ms; serving
-    # is cheapest; vrt_full is the flagship secondary; flow (driver
-    # config #1, ~25 s) outranks vrt_tiny (not a driver config); gan is
-    # last (driver config #4 but the most expensive warm leg)
-    for leg in ("train", "serving", "vrt_full", "flow", "vrt_tiny", "gan"):
+    # cheapest-first after the headline (VERDICT r4: two rounds of
+    # stall-starved scoreboards): train (the verdict-tracked
+    # train_step_ms, ≈35 s warm with the shared params), serving (≈20 s),
+    # flow (driver config #1, ≈12 s) — those three plus the headline are
+    # the "must land under a 400 s stall" set — then vrt_full (flagship
+    # secondary), vrt_tiny, gan (most expensive warm leg)
+    for leg in ("train", "serving", "flow", "vrt_full", "vrt_tiny", "gan"):
         rem = remaining()
-        if server.dead and rem > 90:
+        if server.dead and rem > RESPAWN_MIN_S:
             # a wedged leg killed the worker; a FRESH worker can still
-            # land the remaining legs (it re-pays the first-contact
-            # stall inside its own leg timeouts)
+            # land the remaining legs. It re-pays the first-contact
+            # stall — land that on the free warmup op (same policy as
+            # startup) so the next metric leg's cap isn't consumed by
+            # the stall (ADVICE r4).
             _log("respawning worker after wedge")
             server = _LegServer()
             out["worker_respawns"] = out.get("worker_respawns", 0) + 1
-        if rem <= 30 or server.dead:
+            rw, _rwnote = server.run_leg(
+                "warmup", timeout_s=max(remaining() - SKIP_BELOW_S, 1.0),
+                kill_on_timeout=False,
+            )
+            if rw and "tunnel_warmup_s" in rw:
+                out["respawn_warmup_s"] = rw["tunnel_warmup_s"]
+            rem = remaining()
+        if rem <= SKIP_BELOW_S or server.dead:
             out[f"{leg}_note"] = (
                 "skipped (worker dead)" if server.dead else "skipped (budget)"
             )
@@ -737,17 +856,24 @@ def main() -> None:
             leg, timeout_s=min(rem, LEG_CAP_S.get(leg, rem))
         )
         if res:
+            if res.pop("provisional", None):
+                out[f"{leg}_provisional"] = True  # wedged mid-timing
             out.update(res)
         if lnote:
             out[f"{leg}_note"] = lnote
+        # an overdue leg (warmup at either spawn) that finished during
+        # this leg reports its buffered metrics now
+        for late in [server.late_results.pop(k)
+                     for k in list(server.late_results)]:
+            out.update(late)
         # merged line after EVERY leg: a kill during the next leg can
         # never lose an already-measured number
-        out["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+        out["bench_wall_s"] = round(time.monotonic() - t0, 1)
         print(json.dumps(out), flush=True)
         printed = True
 
     if not printed:
-        out["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+        out["bench_wall_s"] = round(time.monotonic() - t0, 1)
         print(json.dumps(out), flush=True)
     server.close()
 

@@ -165,7 +165,16 @@ def main(argv=None) -> int:
         if lr_dir is not None:
             lr = get_video(lr_dir)
         else:
+            # crop HR to the scale-divisible region before deriving LR:
+            # otherwise SR comes back (h//s)*s × (w//s)*s and the metric
+            # fails on a shape mismatch instead of measuring anything
             b, t, h, w, c = hr.shape
+            hs, ws = h // args.scale * args.scale, w // args.scale * args.scale
+            if (hs, ws) != (h, w):
+                print(f"# {name}: cropping HR {h}x{w} -> {hs}x{ws} "
+                      f"(scale-divisible region)", file=sys.stderr)
+                hr = hr[:, :, :hs, :ws]
+                h, w = hs, ws
             lr = np.asarray(
                 resize_bicubic(
                     jnp.asarray(hr.reshape(b * t, h, w, c)),

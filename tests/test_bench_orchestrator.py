@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import textwrap
+import time
 
 import pytest
 
@@ -266,6 +267,144 @@ def test_main_headline_failure_exits_nonzero(main_bench, capsys,
     assert ei.value.code == 1
     final = _stdout_json(capsys)[-1]
     assert final["value"] is None and "error" in final
+
+
+def test_main_respawn_warms_fresh_worker_first(main_bench, capsys,
+                                               monkeypatch):
+    """ADVICE r4: the respawned worker's first-contact stall must land on
+    the free warmup op, not inside the next metric leg's cap — main()
+    submits 'warmup' to the fresh worker before any metric leg and
+    reports its stall as respawn_warmup_s."""
+    monkeypatch.setenv("FAKE_WEDGE", "train")
+    main_bench.main()
+    final = _stdout_json(capsys)[-1]
+    assert final["worker_respawns"] == 1
+    assert final["respawn_warmup_s"] == 0.1
+    assert final["serve_b2_720p_fps"] == 3.0
+
+
+FAKE_PROVISIONAL_SERVE = """
+import json, sys, time
+
+def emit(o):
+    print(json.dumps(o), flush=True)
+
+for line in sys.stdin:
+    name = line.strip()
+    if name == "warmup":
+        emit({"tunnel_warmup_s": 0.1})
+    elif name == "headline":
+        emit({"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 1.0})
+    elif name == "train":
+        # a leg that wedges at 90%: provisional streamed, final never comes
+        emit({"train_step_ms": 2.5, "provisional": True})
+        time.sleep(120)
+    else:
+        emit({name + "_metric": 1.0})
+    emit({"__leg_done__": name})
+"""
+
+
+def test_wedge_mid_timing_keeps_provisional_metric(bench, tmp_path,
+                                                   monkeypatch, capsys):
+    """VERDICT r4 #3: a leg killed at 90% still contributes its streamed
+    provisional metric, flagged per-leg, and the wedge costs only that
+    leg's cap."""
+    p = tmp_path / "fake_provisional_serve.py"
+    p.write_text(textwrap.dedent(FAKE_PROVISIONAL_SERVE))
+    bench.__file__ = str(p)
+    monkeypatch.setattr(bench, "LEG_CAP_S", {k: 6.0 for k in bench.LEG_CAP_S})
+    monkeypatch.setenv("VSRLAB_BENCH_BUDGET_S", "150")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    final = _stdout_json(capsys)[-1]
+    assert final["train_step_ms"] == 2.5          # provisional survived
+    assert final["train_provisional"] is True     # and is flagged
+    assert final["train_note"] == "timeout"
+    assert final["worker_respawns"] == 1          # wedge killed the worker
+    assert final["serving_metric"] == 1.0         # later legs still landed
+
+
+FAKE_STALL_SERVE = """
+import json, os, sys, time
+
+def emit(o):
+    print(json.dumps(o), flush=True)
+
+# warm leg costs with the r5 worker-resident param cache and a hot
+# persistent compile cache, scaled by FAKE_SCALE (see the test):
+# headline ~20 s (shared init 11 + compile 4 + first 3.5 + timing 2),
+# train ~19 s (jitted state wrap 2 + compile 14 + first 3.5), serving
+# ~10 s, flow ~9 s. Chip-verified this round: see
+# docs/tpu_kernel_notes.md round-5 warm-leg measurements.
+scale = float(os.environ["FAKE_SCALE"])
+stall = float(os.environ["FAKE_STALL_S"]) / scale
+# the stall is external tunnel weather: it ends a fixed wall-clock time
+# after the ORCHESTRATOR started (epoch passed by the test), not after
+# this worker got around to reading the leg name — python spawn costs
+# ~2.5 s on this box, which a 1/12-scale simulation must not inflate 12x
+stall_end = float(os.environ["FAKE_T0_EPOCH"]) + stall
+DUR = {"headline": 20.0, "train": 19.0, "serving": 10.0, "flow": 9.0,
+       "vrt_full": 90.0, "vrt_tiny": 30.0, "gan": 60.0}
+METRIC = {"headline": ("value", 1.0), "train": ("train_step_ms", 2.0),
+          "serving": ("serve_b2_720p_fps", 3.0),
+          "flow": ("spynet_pair_ms", 4.0),
+          "vrt_full": ("vrt_full_16f256_fps", 5.0),
+          "vrt_tiny": ("vrt_tiny_6f64_fps", 6.0),
+          "gan": ("gan_step_ms", 7.0)}
+for line in sys.stdin:
+    name = line.strip()
+    if name == "warmup":
+        time.sleep(max(0.0, stall_end - time.time()))
+        emit({"tunnel_warmup_s": round(stall * scale, 1)})
+    else:
+        time.sleep(DUR[name] / scale)
+        k, v = METRIC[name]
+        o = {k: v}
+        if name == "headline":
+            o = {"metric": "m", "value": v, "unit": "u", "vs_baseline": v}
+        emit(o)
+    emit({"__leg_done__": name})
+"""
+
+
+def test_400s_stall_four_metrics_survive(bench, tmp_path, monkeypatch,
+                                         capsys):
+    """VERDICT r4 #1(c): the stall-injection proof. A 400 s first-contact
+    tunnel stall inside the 480 s budget — the exact weather that wiped
+    the r3 and r4 official scoreboards — still lands the headline fps
+    AND train_step_ms AND serve_b2_720p_fps AND spynet_pair_ms, plus the
+    stall duration itself attributed back from the overdue warmup leg
+    (ADVICE r4). Run at 1/12 wall-clock scale against the REAL main()
+    logic: budget, stall, per-leg caps, and all four budget constants
+    scale together, and the fake worker's leg durations are the measured
+    warm costs (see FAKE_STALL_SERVE)."""
+    S = 12.0
+    p = tmp_path / "fake_stall_serve.py"
+    p.write_text(textwrap.dedent(FAKE_STALL_SERVE))
+    bench.__file__ = str(p)
+    monkeypatch.setenv("FAKE_SCALE", str(S))
+    monkeypatch.setenv("FAKE_STALL_S", "400")
+    monkeypatch.setenv("FAKE_T0_EPOCH", str(time.time()))
+    monkeypatch.setenv("VSRLAB_BENCH_BUDGET_S", str(480.0 / S))
+    for const in ("RESERVE_S", "SKIP_BELOW_S", "WARMUP_RESERVE_S",
+                  "RESPAWN_MIN_S"):
+        monkeypatch.setattr(bench, const, getattr(bench, const) / S)
+    monkeypatch.setattr(bench, "LEG_CAP_S",
+                        {k: v / S for k, v in bench.LEG_CAP_S.items()})
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    final = _stdout_json(capsys)[-1]
+    # the four driver-tracked metrics all survived the stall
+    for key in ("value", "train_step_ms", "serve_b2_720p_fps",
+                "spynet_pair_ms"):
+        assert final.get(key) is not None, (key, final)
+    # the stall duration was attributed back from the overdue warmup leg
+    assert final["warmup_note"] == "timeout"
+    assert final["tunnel_warmup_s"] == 400.0
+    # the expensive legs were skipped on budget, not wedged
+    assert "skipped" in final["vrt_full_note"]
+    assert final["bench_wall_s"] <= 480.0 / S
 
 
 def test_respawn_after_wedge_serves_later_legs(bench, server):

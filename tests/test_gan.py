@@ -55,14 +55,19 @@ class TestPerceptual:
         x_np = rng.random((1, 32, 32, 3)).astype(np.float32)
         taps = model.apply({"params": params}, jnp.asarray(x_np))
 
+        # the reference's EFFECTIVE tap semantics (losses.py:38-44 with
+        # torchvision's ReLU(inplace=True)): a stored tap is mutated by
+        # the following in-place ReLU, so non-deepest taps are post-ReLU;
+        # the deepest tap has its ReLU cut off by features[:deepest+1]
         xt = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
         outs = {}
         h = xt
         for i, m in enumerate(feats):
             h = m(h)
-            if i in (2, 7):
+            if i == 2:
+                outs[i] = torch.relu(h).detach().numpy().transpose(0, 2, 3, 1)
+            if i == 7:
                 outs[i] = h.detach().numpy().transpose(0, 2, 3, 1)
-            if i >= 7:
                 break
         np.testing.assert_allclose(np.asarray(taps[2]), outs[2], atol=1e-4)
         np.testing.assert_allclose(np.asarray(taps[7]), outs[7], atol=1e-4)

@@ -331,6 +331,44 @@ class TestEntryContract:
         out = jax.eval_shape(fn, *args)  # trace-only: shape contract
         assert out.shape == (1, 6, 256, 256, 3)
 
+    def test_dryrun_child_env_is_hermetic(self, monkeypatch):
+        """Regression for the r4 hermetic-flags fix (VERDICT r4 #9): the
+        re-exec child's XLA_FLAGS must be EXACTLY the pinned device-count
+        flag — any inherited flag would change the persistent-cache key
+        and turn the driver's warm dryrun into a 3-minute cold compile
+        (MULTICHIP_r03) — and the compilation cache dir must be set."""
+        import os
+        import subprocess
+
+        import __graft_entry__ as g
+
+        captured = {}
+
+        def fake_run(cmd, env=None, cwd=None, **kw):
+            captured["env"] = env
+            captured["cmd"] = cmd
+
+            class P:
+                returncode = 0
+
+            return P()
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        monkeypatch.setenv(
+            "XLA_FLAGS", "--xla_dump_to=/tmp/x --xla_cpu_foo=1"
+        )  # hostile inherited flags
+        g._reexec_on_virtual_cpu_mesh(8)
+        env = captured["env"]
+        assert env["XLA_FLAGS"] == "--xla_force_host_platform_device_count=8"
+        assert env["VSRLAB_DRYRUN_CHILD"] == "1"
+        assert env["JAX_COMPILATION_CACHE_DIR"] == os.environ.get(
+            "VSRLAB_CACHE_DIR",
+            os.path.expanduser("~/.cache/vsrlab_tpu/xla"),
+        )
+        # the child forces the CPU platform through the config API (env
+        # vars are too late on this box — CLAUDE.md)
+        assert "jax.config.update('jax_platforms', 'cpu')" in captured["cmd"][-1]
+
     @pytest.mark.slow
     def test_dryrun_self_provisions_from_one_device(self):
         """Driver conditions (MULTICHIP_r01 regression): plain ``python -c``

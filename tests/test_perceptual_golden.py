@@ -59,3 +59,74 @@ def test_perceptual_loss_seed0_value_pinned(rng):
     assert np.isfinite(v) and v > 0
     v2 = float(PerceptualLoss(weight=1.0)(a, b))
     np.testing.assert_allclose(v, v2, rtol=1e-6)  # construction-stable
+
+
+def _torch_vgg19_features():
+    """The torchvision ``vgg19().features`` graph in pure torch
+    (torchvision is absent on this box; VGG19's Sequential layout —
+    conv/relu pairs with maxpools, indices 0..36 — is exactly the
+    VGG19_FEATURES table, so the reconstruction IS the torchvision
+    module graph, minus downloaded weights)."""
+    import torch.nn as tnn
+
+    from vsrlab_tpu.core.perceptual import VGG19_FEATURES
+
+    layers, in_ch = [], 3
+    for item in VGG19_FEATURES:
+        if item == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            _, ch = item
+            layers.append(tnn.Conv2d(in_ch, ch, 3, padding=1))
+            layers.append(tnn.ReLU(inplace=True))
+            in_ch = ch
+    return tnn.Sequential(*layers)
+
+
+def test_perceptual_loss_torch_oracle_at_weights(rng, tmp_path):
+    """Weights-level parity (VERDICT r4 #6): the perceptual path pinned
+    against the reference executed in torch at NONTRIVIAL weights — a
+    fixed-seed surrogate checkpoint in torchvision's state_dict layout is
+    round-tripped through ``load_torch_vgg19`` and the reference
+    PerceptualLoss forward (src/core/losses.py:29-64 — post-module tap
+    collection at indices {2,7,16,25,34}, no input normalisation,
+    per-layer L1 × LAYER_WEIGHTS, summed × weight) is replicated verbatim
+    on the torch side. The day real pretrained weights appear, the same
+    converter closes the asset gap."""
+    import torch
+
+    from vsrlab_tpu.core.perceptual import load_torch_vgg19
+
+    torch.manual_seed(0)
+    vgg = _torch_vgg19_features()[:35].eval()
+
+    # surrogate checkpoint round-trip (what a real asset would do)
+    ckpt = tmp_path / "vgg19_surrogate.pth"
+    torch.save({f"features.{k}": v for k, v in vgg.state_dict().items()},
+               ckpt)
+    params = load_torch_vgg19(torch.load(ckpt, map_location="cpu"))
+
+    a = rng.random((2, 24, 32, 3)).astype(np.float32)
+    b = rng.random((2, 24, 32, 3)).astype(np.float32)
+
+    # reference forward, executed directly in torch (losses.py:39-64)
+    with torch.no_grad():
+        def taps(x):
+            out = {}
+            t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            for name, module in vgg.named_children():
+                t = module(t)
+                if name in {"2", "7", "16", "25", "34"}:
+                    out[name] = t
+            return out
+
+        fa, fb = taps(a), taps(b)
+        want = sum(
+            torch.nn.functional.l1_loss(fa[str(k)], fb[str(k)]).item() * w
+            for k, w in LAYER_WEIGHTS.items()
+        )
+
+    got = float(PerceptualLoss(weight=1.0, params=params)(
+        jnp.asarray(a), jnp.asarray(b)
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-5)

@@ -39,8 +39,13 @@ LAYER_WEIGHTS = {2: 0.1, 7: 0.1, 16: 0.8, 25: 0.9, 34: 1.0}
 
 class VGG19Features(nn.Module):
     """VGG19 ``features`` trunk up to the deepest tap layer; returns the
-    PRE-ReLU conv outputs at ``tap_layers`` (reference PerceptualVGG
-    forward collects module outputs by index, losses.py:38-44)."""
+    conv outputs at ``tap_layers`` with the REFERENCE'S effective
+    activation semantics (PerceptualVGG forward, losses.py:38-44): the
+    stored tensors are mutated by torchvision's ``ReLU(inplace=True)``
+    modules that follow each conv, so every tap is effectively POST-ReLU
+    — except the deepest (34), whose following ReLU (module 35) is cut
+    off by ``features[:35]`` and therefore stays pre-ReLU. Torch-oracle
+    pinned at nontrivial weights in tests/test_perceptual_golden.py."""
 
     tap_layers: Sequence[int] = tuple(LAYER_WEIGHTS.keys())
     dtype: Dtype = None
@@ -62,9 +67,12 @@ class VGG19Features(nn.Module):
                 dtype=self.dtype,
                 name=f"conv_{idx}",
             )(x)
-            if idx in self.tap_layers:
-                taps[idx] = x
+            if idx == deepest:
+                taps[idx] = x  # no ReLU executes after the cut-off
+                break
             x = nn.relu(x)
+            if idx in self.tap_layers:
+                taps[idx] = x  # post-ReLU: the in-place mutation semantics
         return taps
 
 

@@ -45,6 +45,7 @@ def create_train_state(
     tx: optax.GradientTransformation,
     init_jit: bool = True,
     ema_decay: float = 0.0,
+    variables=None,
 ) -> TrainState:
     """Initialise model variables (under jit — per-op dispatch through the
     device tunnel is pathologically slow otherwise) and wrap in a state.
@@ -52,10 +53,17 @@ def create_train_state(
     ``ema_decay > 0`` seeds ``ema_params`` with a copy of the initial
     params; the train step (built with the same decay) then maintains
     ``ema ← decay·ema + (1-decay)·params`` after every update.
+
+    Pass ``variables`` (a ``model.init``-shaped dict) to skip the init
+    entirely and wrap an existing tree — bench.py's train leg reuses the
+    worker-resident params its headline leg already built (re-initialising
+    them cost a measured 18 s through the device tunnel, VERDICT r4).
     """
-    init = jax.jit(model.init) if init_jit else model.init
-    args = example_input if isinstance(example_input, tuple) else (example_input,)
-    variables = init(rng, *args)
+    if variables is None:
+        init = jax.jit(model.init) if init_jit else model.init
+        args = (example_input if isinstance(example_input, tuple)
+                else (example_input,))
+        variables = init(rng, *args)
     params = variables["params"]
     return TrainState.create(
         apply_fn=model.apply,

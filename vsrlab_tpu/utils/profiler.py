@@ -60,7 +60,8 @@ class Timer:
         }
 
 
-def best_time(call_and_sync, n_iters: int = 5, repeats: int = 3) -> float:
+def best_time(call_and_sync, n_iters: int = 5, repeats: int = 3,
+              on_best=None) -> float:
     """Best-of-repeats per-call seconds for device microbenchmarks.
 
     ``call_and_sync(n)`` must issue ``n`` calls and force ONE host
@@ -68,11 +69,26 @@ def best_time(call_and_sync, n_iters: int = 5, repeats: int = 3) -> float:
     stdio tunnel, ``block_until_ready`` does not reliably sync, so the
     readback IS the fence (CLAUDE.md). One warm call precedes timing.
     Shared by ``bench.py`` and the ``scripts/profile_*`` tools.
+
+    ``on_best(seconds)`` (optional) is invoked with the best-so-far
+    per-call time after the warm call and after every repeat, so callers
+    can STREAM a provisional measurement before the loop finishes — on
+    this box the tunnel can wedge between any two device calls, and a
+    streamed provisional is the difference between "partial number on
+    the scoreboard" and "timeout" (bench.py round-5 hardening). Callers
+    whose warm call still includes a compile should issue one warm call
+    themselves before handing over, or the first provisional lies.
     """
+    t0 = time.perf_counter()
     call_and_sync(1)  # warm (compile served from cache or built here)
+    best = time.perf_counter() - t0
+    if on_best is not None:
+        on_best(best)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         call_and_sync(n_iters)
         best = min(best, (time.perf_counter() - t0) / n_iters)
+        if on_best is not None:
+            on_best(best)
     return best
