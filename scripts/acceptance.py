@@ -69,8 +69,82 @@ def build_model(name: str, args):
     if name == "tinyvrt":
         from vsrlab_tpu.models import TinyVRT
 
-        return TinyVRT(upscale=4, dtype=dtype)
+        return TinyVRT(upscale=4, align_chunks=args.align_chunks, dtype=dtype)
     raise SystemExit(f"unknown --model {name!r}")
+
+
+def stream_windows(stream_fwd, params, lr, window: int):
+    """Stateful windowed inference (BasicVSR family): the forward
+    recurrence state carries across windows, so the result keeps temporal
+    continuity a chunked run discards (the serving configuration
+    ``upscale --stream`` uses)."""
+    import jax.numpy as jnp
+
+    first, rest = stream_fwd
+    state, srs = None, []
+    for i in range(0, lr.shape[1], window):
+        win = jnp.asarray(lr[:, i:i + window])
+        sr_win, state = (first(params, win) if state is None
+                         else rest(params, win, state))
+        srs.append(sr_win)
+    return jnp.concatenate(srs, axis=1)
+
+
+def selftest() -> int:
+    """Exercise every serving configuration the real acceptance would use
+    — RealBasicVSR × (windowed, streamed) and TinyVRT windowed with
+    chunked alignment — on synthetic assets with tiny random-init models,
+    so the day real checkpoints appear none of these paths runs for the
+    first time (reference serving surface: src/test.py:124-135)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vsrlab_tpu.core.metrics import psnr
+    from vsrlab_tpu.evaluation.harness import (
+        make_forward,
+        make_stream_forward,
+        windowed_inference,
+    )
+    from vsrlab_tpu.models import RealBasicVSR, TinyVRT
+    from vsrlab_tpu.ops.resize import resize_bicubic
+
+    rng = np.random.default_rng(0)
+    t, h, w, s = 4, 16, 16, 4
+    hr = rng.random((1, t, h * s, w * s, 3)).astype(np.float32)
+    lr = np.asarray(
+        resize_bicubic(jnp.asarray(hr[0]), (h, w))
+    )[None]
+    hr_j = jnp.asarray(hr)
+    results = {}
+
+    rb = RealBasicVSR(mid_channels=8, res_blocks=2, cleaning_blocks=1)
+    p = jax.jit(rb.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, h, w, 3), jnp.float32)
+    )["params"]
+    sr, _ = windowed_inference(make_forward(rb), p, lr, 2)
+    results["realbasicvsr_windowed_psnr"] = float(
+        psnr(jnp.clip(sr[:, :t], 0, 1), hr_j))
+    sr2 = stream_windows(make_stream_forward(rb), p, lr, 2)
+    results["realbasicvsr_streamed_psnr"] = float(
+        psnr(jnp.clip(sr2, 0, 1), hr_j))
+
+    vrt = TinyVRT(
+        upscale=4, window_size=(2, 4, 4), depths=(1,) * 7,
+        embed_dims=(8,) * 7, num_heads=(2,) * 7, deformable_groups=2,
+        drop_path_rate=0.0, align_chunks=1,
+    )
+    pv = jax.jit(vrt.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 2, h, w, 3), jnp.float32)
+    )["params"]
+    srv, _ = windowed_inference(make_forward(vrt), pv, lr, 2)
+    results["tinyvrt_chunked_align_windowed_psnr"] = float(
+        psnr(jnp.clip(srv[:, :t], 0, 1), hr_j))
+
+    ok = all(np.isfinite(v) for v in results.values())
+    print(json.dumps({"selftest": bool(ok),
+                      **{k: round(v, 3) for k, v in results.items()}}))
+    return 0 if ok else 1
 
 
 def import_params(name: str, checkpoint: Path):
@@ -101,6 +175,10 @@ def clip_dirs(data: Path):
 
 
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if "--selftest" in argv:
+        return selftest()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--model", required=True,
                     choices=("realbasicvsr", "vrt", "tinyvrt"))
@@ -124,6 +202,10 @@ def main(argv=None) -> int:
     ap.add_argument("--tile", type=int, default=0,
                     help="spatial tiling for inputs whose single-pass "
                          "program exceeds HBM (evaluation/tiled.py)")
+    ap.add_argument("--stream", action="store_true",
+                    help="stateful windowed inference (BasicVSR family): "
+                         "the forward recurrence state carries across "
+                         "windows, matching a full-clip pass")
     ap.add_argument("--align-chunks", type=int, default=30,
                     help="VRT chunked alignment (single-pass HBM fit)")
     ap.add_argument("--mid-channels", type=int, default=64)
@@ -150,13 +232,19 @@ def main(argv=None) -> int:
     from vsrlab_tpu.evaluation.harness import (
         get_video,
         make_forward,
+        make_stream_forward,
         windowed_inference,
     )
     from vsrlab_tpu.ops.resize import resize_bicubic
 
     params = import_params(args.model, checkpoint)
     model = build_model(args.model, args)
-    forward = make_forward(model, tile=args.tile or None)
+    if args.stream and not hasattr(model, "fuse_directions"):
+        raise SystemExit("--stream needs a recurrent model "
+                         "(BasicVSR family)")
+    stream_fwd = make_stream_forward(model) if args.stream else None
+    forward = None if args.stream else make_forward(model,
+                                                    tile=args.tile or None)
     psnr_fn, ssim_fn = (psnr_y, ssim_y) if args.y else (psnr, ssim)
 
     per_clip = {}
@@ -181,7 +269,10 @@ def main(argv=None) -> int:
                     (h // args.scale, w // args.scale),
                 )
             ).reshape(b, t, h // args.scale, w // args.scale, c)
-        sr, _ = windowed_inference(forward, params, lr, args.window)
+        if args.stream:
+            sr = stream_windows(stream_fwd, params, lr, args.window)
+        else:
+            sr, _ = windowed_inference(forward, params, lr, args.window)
         sr = jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
         hr_j = jnp.asarray(hr[:, : sr.shape[1]])
         per_clip[name] = (
@@ -204,6 +295,8 @@ def main(argv=None) -> int:
         "psnr": round(mean_psnr, 4),
         "ssim": round(mean_ssim, 5),
         "metric_channel": "Y" if args.y else "RGB",
+        "mode": ("streamed" if args.stream
+                 else "tiled" if args.tile else "windowed"),
         "bar_db": args.bar,
     }
     if pub_psnr is None:
