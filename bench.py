@@ -164,6 +164,25 @@ def _flops_of(compiled) -> float | None:
         return None
 
 
+def _phantom_flops(model, n_frames, h, w, train=False) -> float:
+    """Zero-block FLOPs the cleaner's frame packing adds (MFU honesty).
+
+    Frame packing runs the cleaner as block-diagonal C=128 convs — 2× the
+    nominal FLOPs, with the extra half multiplying structural zeros
+    (docs/tpu_kernel_notes.md round-5). XLA's cost analysis counts them;
+    the MFU scoreboard must not — MFU is model-REQUIRED flops over peak.
+    The phantom equals the cleaner's own conv FLOPs (fwd); the train step
+    roughly triples it (fwd + dgrad + wgrad each carry the 2×).
+    """
+    if not getattr(model, "frame_pack", False) or n_frames % 2:
+        return 0.0
+    c, m = 3, model.mid_channels
+    per_frame = (2 * h * w * 9
+                 * (c * m + model.cleaning_blocks * 2 * m * m + m * c)
+                 * model.cleaning_steps)
+    return per_frame * n_frames * (3.0 if train else 1.0)
+
+
 def bench_inference(model, params):
     import jax
     import jax.numpy as jnp
@@ -210,6 +229,8 @@ def bench_inference(model, params):
     _log("inference: timing")
     dt = _best_time(call_and_sync, emit=lambda d: _headline_line(t_frames / d))
     flops = _flops_of(compiled)
+    if flops:
+        flops -= _phantom_flops(model, t_frames, h, w)
     mfu = (flops / dt / V5E_PEAK_FLOPS) if flops else None
     _log(f"inference: done ({t_frames / dt:.2f} fps)")
     return t_frames / dt, mfu
@@ -276,6 +297,8 @@ def bench_train(model, params):
     _log("train: timing")
     dt = _best_time(call_and_sync, emit=emit)
     flops = _flops_of(compiled)
+    if flops:
+        flops -= _phantom_flops(model, b * t, h, w, train=True)
     mfu = (flops / dt / V5E_PEAK_FLOPS) if flops else None
     _log(f"train: done ({dt * 1e3:.1f} ms/step)")
     return b * t / dt, dt * 1e3, mfu

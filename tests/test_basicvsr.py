@@ -106,6 +106,42 @@ class TestRealBasicVSR:
         assert sr.shape == (1, 3, 64, 64, 3)
         assert lq.shape == lr.shape
 
+    def test_frame_pack_matches_plain(self, rng):
+        """Cleaner frame packing (C=64→128 MXU lanes, block-diagonal
+        weights — docs/tpu_kernel_notes.md round-5): per-frame numerics
+        are EXACT vs the plain path, init is flag-independent, an odd
+        frame count falls back, and gradients flow to the same logical
+        tree."""
+        kw = dict(mid_channels=8, res_blocks=1, cleaning_blocks=1)
+        plain = RealBasicVSR(**kw, frame_pack=False)
+        packed = RealBasicVSR(**kw, frame_pack=True)
+        lr = jnp.asarray(rng.random((1, 4, 16, 16, 3)), jnp.float32)
+        v = jax.jit(plain.init)(jax.random.PRNGKey(0), lr)
+        v2 = jax.jit(packed.init)(jax.random.PRNGKey(0), lr)
+        for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        sr0, lq0 = jax.jit(plain.apply)(v, lr)
+        sr1, lq1 = jax.jit(packed.apply)(v, lr)
+        np.testing.assert_array_equal(np.asarray(lq0), np.asarray(lq1))
+        np.testing.assert_allclose(
+            np.asarray(sr0), np.asarray(sr1), atol=1e-6)
+
+        # odd frame count: falls back to the plain path, same output
+        sr3, _ = jax.jit(packed.apply)(v, lr[:, :3])
+        sr3p, _ = jax.jit(plain.apply)(v, lr[:, :3])
+        np.testing.assert_array_equal(np.asarray(sr3), np.asarray(sr3p))
+
+        # gradients reach the logical cleaner tree through the packing
+        def loss(p):
+            sr, lq = packed.apply({"params": p}, lr)
+            return jnp.mean(sr**2) + jnp.mean(lq**2)
+
+        g = jax.jit(jax.grad(loss))(v["params"])
+        cleaner_leaves = jax.tree.leaves(g["cleaner"])
+        assert all(np.isfinite(np.asarray(l)).all() for l in cleaner_leaves)
+        assert any(float(jnp.max(jnp.abs(l))) > 0 for l in cleaner_leaves)
+
 
 class TestUNetDiscriminator:
     def test_per_pixel_logits(self, rng):

@@ -293,21 +293,53 @@ class IterativeRefinement(nn.Module):
     over flattened frames (reference
     src/vsr/models/RealBasicVSR/realbasicvsr.py:17-30).
 
-    Operates on frames ``(N, H, W, 3)``; callers flatten clips first.
+    Operates on frames ``(N, H, W, out_channels)``; callers flatten clips
+    first. ``out_channels`` exists for the frame-packed twin instance
+    (see :func:`pack_frame_pair_params`) — the reference semantics are
+    the default 3.
     """
 
     mid_channels: int = 64
     blocks: int = 20
     steps: int = 3
+    out_channels: int = 3
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
         resblock = ResidualBlock(self.mid_channels, self.blocks, dtype=self.dtype)
-        conv = Conv2d(3, 3, 1, 1, dtype=self.dtype)
+        conv = Conv2d(self.out_channels, 3, 1, 1, dtype=self.dtype)
         for _ in range(self.steps):
             x = x + conv(resblock(x))
         return x
+
+
+def pack_frame_pair_params(params):
+    """Block-diagonal 2× channel expansion of a pure-conv param tree.
+
+    MXU occupancy lever (docs/tpu_kernel_notes.md round-5 frame packing,
+    ``scripts/bench_frame_pack.py``): output channels map to MXU lanes,
+    so a C=64 conv uses 64 of 128 lanes no matter the batch. Packing two
+    frames channel-wise and expanding every kernel to a block-diagonal
+    ``(…, 2·ci, 2·co)`` with the SAME logical weights in both blocks
+    computes the two frames' convs in one full-lane GEMM: 2× the nominal
+    FLOPs (the cross blocks are zeros) but measured 1.62× faster at the
+    cleaner's batch-10 180×320 shape (20.0 → 12.3 ms per 20-conv chain).
+    Per-frame results are unchanged (the zero blocks contribute exact
+    zeros); only float reduction order may differ at the last ulp.
+
+    Works on any tree whose leaves are conv kernels ``(…, kh, kw, ci,
+    co)`` — ``nn.scan``-stacked 5-D kernels included — and biases
+    ``(…, co)``. Differentiable: gradients flow back to the logical tree.
+    """
+    def f(leaf):
+        if leaf.ndim >= 4:  # conv kernel, possibly scan-stacked
+            ci, co = leaf.shape[-2], leaf.shape[-1]
+            z = jnp.zeros(leaf.shape[:-2] + (2 * ci, 2 * co), leaf.dtype)
+            return (z.at[..., :ci, :co].set(leaf)
+                     .at[..., ci:, co:].set(leaf))
+        return jnp.concatenate([leaf, leaf], axis=-1)  # bias
+    return jax.tree.map(f, params)
 
 
 class DeformConvPack(nn.Module):
