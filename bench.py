@@ -165,20 +165,25 @@ def _flops_of(compiled) -> float | None:
 
 
 def _phantom_flops(model, n_frames, h, w, train=False) -> float:
-    """Zero-block FLOPs the cleaner's frame packing adds (MFU honesty).
+    """Zero-block FLOPs the cleaner's frame packing adds, AS COUNTED by
+    XLA's cost analysis (MFU honesty: the scoreboard must not take
+    credit for block-diagonal zeros — docs/tpu_kernel_notes.md round-5).
 
-    Frame packing runs the cleaner as block-diagonal C=128 convs — 2× the
-    nominal FLOPs, with the extra half multiplying structural zeros
-    (docs/tpu_kernel_notes.md round-5). XLA's cost analysis counts them;
-    the MFU scoreboard must not — MFU is model-REQUIRED flops over peak.
-    The phantom equals the cleaner's own conv FLOPs (fwd); the train step
-    roughly triples it (fwd + dgrad + wgrad each carry the 2×).
+    cost_analysis counts a scanned loop body once per UNROLL step, not
+    per iteration (the r3 bookkeeping caveat), so the counted phantom
+    uses ``min(unroll, blocks)`` scanned bodies plus the unscanned
+    head/tail convs; the train step roughly triples it (fwd + dgrad +
+    wgrad each carry the 2×). An approximation of an approximation —
+    ``mfu`` stays a cross-round index, while fps/step_ms are exact.
     """
     if not getattr(model, "frame_pack", False) or n_frames % 2:
         return 0.0
+    from vsrlab_tpu.nn.blocks import ResidualBlock
+
     c, m = 3, model.mid_channels
+    bodies = min(ResidualBlock.unroll, model.cleaning_blocks)
     per_frame = (2 * h * w * 9
-                 * (c * m + model.cleaning_blocks * 2 * m * m + m * c)
+                 * (c * m + bodies * 2 * m * m + m * c)
                  * model.cleaning_steps)
     return per_frame * n_frames * (3.0 if train else 1.0)
 

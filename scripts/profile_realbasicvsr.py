@@ -83,6 +83,25 @@ def main():
     dt_clean = timed(run_cleaner, params, lr)
     print(f"  cleaner (3 steps, 20 blk, bt={T}): {dt_clean*1e3:8.2f} ms")
 
+    # the shipped cleaner path (frame_pack=True): pairs packed to C=128
+    from vsrlab_tpu.nn.blocks import pack_frame_pair_params
+
+    packed = IterativeRefinement(128, 20, 3, out_channels=6,
+                                 dtype=jnp.bfloat16)
+
+    @jax.jit
+    def run_cleaner_packed(p, x):
+        b, t, h, w, c = x.shape
+        n = b * t
+        f = x.reshape(n, h, w, c)
+        xp = jnp.concatenate([f[: n // 2], f[n // 2:]], axis=-1)
+        return packed.apply(
+            {"params": pack_frame_pair_params(p["cleaner"])}, xp
+        )
+
+    dt_cp = timed(run_cleaner_packed, params, lr)
+    print(f"  cleaner frame-packed (shipped):   {dt_cp*1e3:8.2f} ms")
+
     bvsr = BasicVSR(64, 30, 4, dtype=jnp.bfloat16)
 
     @jax.jit

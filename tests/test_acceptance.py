@@ -115,6 +115,8 @@ def test_streamed_mode_measures(acceptance, assets, capsys):
     assert np.isfinite(out["psnr"]) and np.isfinite(out["ssim"])
 
 
+@pytest.mark.slow  # TinyVRT compile dominates; the RealBasicVSR
+# windowed+streamed acceptance modes stay default-tier above
 def test_selftest_covers_serving_matrix(acceptance, capsys):
     """VERDICT r4 #7: every serving configuration the real acceptance
     would use is exercised on synthetic assets — RealBasicVSR windowed

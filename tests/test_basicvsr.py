@@ -30,6 +30,8 @@ class TestBasicVSR:
         sr = model.apply(variables, lrs)
         assert sr.shape == (1, 3, 32, 32, 3)
 
+    @pytest.mark.slow  # default tier: the torch full-forward oracle pins
+    # the residual path end-to-end
     def test_residual_path_at_zero_weights(self, rng):
         """With all weights zero the output is exactly the bilinear base."""
         from vsrlab_tpu.ops.resize import resize_bilinear
@@ -69,6 +71,9 @@ class TestBasicVSR:
         assert spynet_norm == 0.0
         assert other_norm > 0.0
 
+    @pytest.mark.slow  # default tier: the torch full-forward oracle pins
+    # the default (auto-unroll) path; scan-vs-unroll equality is a
+    # structural invariant that rarely regresses alone
     def test_time_unroll_matches_scan(self, rng):
         """time_unroll fully unrolls the recurrence time-scan; outputs
         must match the scanned form (same params — unrolling changes

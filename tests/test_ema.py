@@ -199,6 +199,8 @@ def test_restore_ema_falls_back_to_nearest_older_key(tmp_path):
         _load_ema_params(d2, 0, state.params)  # only key 5 > 0 exists
 
 
+@pytest.mark.slow  # default tier: test_ema_update_formula pins the EMA
+# math; the GAN trainer e2e (slow) runs the gan step with EMA end-to-end
 def test_gan_step_ema(rng):
     """Generator EMA in the GAN step: updates with the generator, frozen
     when the generator is frozen (freeze_epochs phase)."""

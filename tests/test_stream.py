@@ -63,6 +63,8 @@ class TestBasicVSRStreaming:
             rtol=2e-5, atol=2e-6,
         )
 
+    @pytest.mark.slow  # default tier: TestRealBasicVSRStreaming covers
+    # streaming at the full-model level
     def test_three_window_chain(self, rng):
         """State threads through >2 windows (uneven sizes)."""
         model = tiny_basicvsr()
@@ -99,6 +101,8 @@ class TestBasicVSRStreaming:
         err_stateless = np.abs(stateless - full[:, 3:]).mean()
         assert err_streamed < err_stateless
 
+    @pytest.mark.slow  # fallback path; the shipped fused path is
+    # default-covered by TestRealBasicVSRStreaming
     def test_unfused_path_matches_fused(self, rng):
         """Streaming works identically through fuse_directions=False."""
         lrs = jnp.asarray(rng.random((1, 5, 16, 16, 3)), jnp.float32)
