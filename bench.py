@@ -24,8 +24,11 @@ Structure (VERDICT r3 weak #1: round 3's 16-minute monolith outgrew the
 driver timeout and shipped an EMPTY scoreboard despite a judge-verified
 31.9 fps): the top-level process is a pure orchestrator — no JAX — that
 feeds leg names to ONE persistent worker subprocess and enforces a
-wall-clock budget per leg (``VSRLAB_BENCH_BUDGET_S``, default 480 s
-total), merging each leg's JSON lines as they stream back. One worker —
+wall-clock budget per leg (``VSRLAB_BENCH_BUDGET_S``, default 540 s
+total — the driver kills somewhere in (470 s, 980 s): r4 finished at
+470 s with rc=0, r3 was killed at ~16 min; 540 buys 60 s more
+first-contact-stall headroom, and every metric line streams as it
+lands, so even an external kill keeps the scoreboard), merging each leg's JSON lines as they stream back. One worker —
 not one subprocess per leg — because every fresh TPU process on this box
 pays the axon-tunnel congestion stall (measured 140-240 s on the first
 device call after ANY previous TPU process exits) plus a persistent-
@@ -807,7 +810,7 @@ def main() -> None:
 
     global _T0
     _T0 = t0 = time.monotonic()  # budget clock == log clock
-    budget = float(os.environ.get("VSRLAB_BENCH_BUDGET_S", "480"))
+    budget = float(os.environ.get("VSRLAB_BENCH_BUDGET_S", "540"))
     server = _LegServer()
 
     # the first-contact stall gets its own deadline: everything after it
