@@ -149,6 +149,9 @@ class TestRealBasicVSR:
 
 
 class TestUNetDiscriminator:
+    @pytest.mark.slow  # default tier: test_gan.py's GanStep tests run the
+    # discriminator fwd+bwd inside the jitted GAN step (pixel-wise loss
+    # requires the per-pixel logit map this test pins)
     def test_per_pixel_logits(self, rng):
         model = UNetDiscriminator(mid_channels=8)
         img = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)

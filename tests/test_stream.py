@@ -154,6 +154,8 @@ class TestRealBasicVSRStreaming:
             rtol=2e-5, atol=2e-6,
         )
 
+    @pytest.mark.slow  # default tier: test_acceptance.py's streamed-mode
+    # test drives make_stream_forward end-to-end through the acceptance CLI
     def test_make_stream_forward(self, rng):
         """The harness factory chains windows end-to-end."""
         from vsrlab_tpu.evaluation.harness import make_stream_forward
