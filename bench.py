@@ -87,6 +87,16 @@ RESERVE_S = 10.0  # end-of-budget slack withheld from every leg deadline
 SKIP_BELOW_S = 12.0
 WARMUP_RESERVE_S = 120.0  # budget held back from the warmup deadline
 RESPAWN_MIN_S = 90.0  # min remaining budget to respawn a dead worker
+# The headline leg never gives up before this many seconds even when the
+# warmup stall consumed the whole nominal budget: first-contact stalls
+# measured up to 665 s on 2026-08-20 EXCEED the default 540 s budget
+# outright, and a bounded overrun (worst-case wall = budget -
+# WARMUP_RESERVE_S + HEADLINE_FLOOR_S) that lands the headline beats an
+# on-budget null headline in every scenario — if the driver's own
+# timeout kills the overrun, the echoed headline line (or nothing, same
+# as giving up) is still on stdout. Secondary legs keep honoring the
+# nominal budget: after an overrun they skip on budget as usual.
+HEADLINE_FLOOR_S = 300.0
 
 _T0 = time.monotonic()
 
@@ -829,7 +839,12 @@ def main() -> None:
         return budget - (time.monotonic() - t0) - RESERVE_S
 
     headline, note = server.run_leg(
-        "headline", timeout_s=remaining(),
+        # floored deadline: a stall that outlived the warmup deadline is
+        # usually STILL in progress here; the headline must be able to
+        # outwait its tail even past the nominal budget (see
+        # HEADLINE_FLOOR_S — a null headline is the one unacceptable
+        # outcome)
+        "headline", timeout_s=max(remaining(), HEADLINE_FLOOR_S),
         echo=True,  # the inference line must survive a parent kill
     )
     warm = warm or server.late_results.pop("warmup", None)

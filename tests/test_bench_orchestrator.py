@@ -388,7 +388,7 @@ def test_400s_stall_four_metrics_survive(bench, tmp_path, monkeypatch,
     monkeypatch.setenv("FAKE_T0_EPOCH", str(time.time()))
     monkeypatch.setenv("VSRLAB_BENCH_BUDGET_S", str(480.0 / S))
     for const in ("RESERVE_S", "SKIP_BELOW_S", "WARMUP_RESERVE_S",
-                  "RESPAWN_MIN_S"):
+                  "RESPAWN_MIN_S", "HEADLINE_FLOOR_S"):
         monkeypatch.setattr(bench, const, getattr(bench, const) / S)
     monkeypatch.setattr(bench, "LEG_CAP_S",
                         {k: v / S for k, v in bench.LEG_CAP_S.items()})
@@ -405,6 +405,46 @@ def test_400s_stall_four_metrics_survive(bench, tmp_path, monkeypatch,
     # the expensive legs were skipped on budget, not wedged
     assert "skipped" in final["vrt_full_note"]
     assert final["bench_wall_s"] <= 480.0 / S
+
+
+def test_stall_longer_than_budget_still_lands_headline(bench, tmp_path,
+                                                       monkeypatch, capsys):
+    """2026-08-20 weather: first-contact stalls of 515-665 s EXCEED the
+    whole 540 s budget. The headline leg's floored deadline
+    (HEADLINE_FLOOR_S) must outwait the stall's tail past the nominal
+    budget and land the headline (bounded overrun), with the secondary
+    legs skipping on budget as usual — instead of the pre-fix behavior:
+    headline gives up at the ~110 s nominal residue and the official
+    scoreboard records a null headline."""
+    S = 12.0
+    p = tmp_path / "fake_stall_serve.py"
+    p.write_text(textwrap.dedent(FAKE_STALL_SERVE))
+    bench.__file__ = str(p)
+    monkeypatch.setenv("FAKE_SCALE", str(S))
+    # stall (280 s) > the WHOLE budget (240 s): the property under test is
+    # scale-free, so the simulation uses a smaller budget than the real
+    # 540 s to keep the test's wall clock down — the floored headline
+    # deadline must cover the stall's tail past the nominal budget
+    monkeypatch.setenv("FAKE_STALL_S", "280")
+    monkeypatch.setenv("FAKE_T0_EPOCH", str(time.time()))
+    monkeypatch.setenv("VSRLAB_BENCH_BUDGET_S", str(240.0 / S))
+    for const in ("RESERVE_S", "SKIP_BELOW_S", "WARMUP_RESERVE_S",
+                  "RESPAWN_MIN_S", "HEADLINE_FLOOR_S"):
+        monkeypatch.setattr(bench, const, getattr(bench, const) / S)
+    monkeypatch.setattr(bench, "LEG_CAP_S",
+                        {k: v / S for k, v in bench.LEG_CAP_S.items()})
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()  # must NOT SystemExit(1)
+    lines = _stdout_json(capsys)
+    final = lines[-1]
+    assert final["value"] == 1.0                  # headline landed
+    assert final["warmup_note"] == "timeout"
+    assert final["tunnel_warmup_s"] == 280.0      # attributed back
+    # every secondary leg skipped on budget (never wedged, never ran)
+    for leg in ("train", "serving", "flow", "vrt_full", "vrt_tiny", "gan"):
+        assert "skipped" in final[f"{leg}_note"], final
+    # the overrun is bounded by the floor
+    assert final["bench_wall_s"] <= (240.0 - 120.0 + 300.0 + 30.0) / S
 
 
 def test_respawn_after_wedge_serves_later_legs(bench, server):
