@@ -444,7 +444,8 @@ def test_stall_longer_than_budget_still_lands_headline(bench, tmp_path,
     for leg in ("train", "serving", "flow", "vrt_full", "vrt_tiny", "gan"):
         assert "skipped" in final[f"{leg}_note"], final
     # the overrun is bounded by the floor
-    assert final["bench_wall_s"] <= (240.0 - 120.0 + 300.0 + 30.0) / S
+    assert final["bench_wall_s"] <= (
+        240.0 - 120.0 + bench.HEADLINE_FLOOR_S * S + 30.0) / S
 
 
 def test_respawn_after_wedge_serves_later_legs(bench, server):
