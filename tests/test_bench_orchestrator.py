@@ -409,11 +409,13 @@ def test_400s_stall_four_metrics_survive(bench, tmp_path, monkeypatch,
 
 def test_stall_longer_than_budget_still_lands_headline(bench, tmp_path,
                                                        monkeypatch, capsys):
-    """2026-08-20 weather: first-contact stalls of 515-665 s EXCEED the
+    """2026-08-20 weather: first-contact stalls of 515-830+ s EXCEED the
     whole 540 s budget. The headline leg's floored deadline
     (HEADLINE_FLOOR_S) must outwait the stall's tail past the nominal
-    budget and land the headline (bounded overrun), with the secondary
-    legs skipping on budget as usual — instead of the pre-fix behavior:
+    budget and land the headline (bounded overrun), and the warm live
+    worker must then still land the cheap MUST_LAND trio
+    (train/serving/flow — each bounded by its own cap) while the
+    expensive legs skip on budget — instead of the pre-fix behavior:
     headline gives up at the ~110 s nominal residue and the official
     scoreboard records a null headline."""
     S = 12.0
@@ -440,12 +442,18 @@ def test_stall_longer_than_budget_still_lands_headline(bench, tmp_path,
     assert final["value"] == 1.0                  # headline landed
     assert final["warmup_note"] == "timeout"
     assert final["tunnel_warmup_s"] == 280.0      # attributed back
-    # every secondary leg skipped on budget (never wedged, never ran)
-    for leg in ("train", "serving", "flow", "vrt_full", "vrt_tiny", "gan"):
+    # the warm worker landed the whole MUST_LAND trio past the budget
+    assert final["train_step_ms"] == 2.0
+    assert final["serve_b2_720p_fps"] == 3.0
+    assert final["spynet_pair_ms"] == 4.0
+    # the expensive legs skipped on budget (never wedged, never ran)
+    for leg in ("vrt_full", "vrt_tiny", "gan"):
         assert "skipped" in final[f"{leg}_note"], final
-    # the overrun is bounded by the floor
+    # the overrun is bounded: floor + the cheap legs' own caps
+    cheap_caps = sum(bench.LEG_CAP_S[l] for l in bench.MUST_LAND_LEGS)
     assert final["bench_wall_s"] <= (
-        240.0 - 120.0 + bench.HEADLINE_FLOOR_S * S + 30.0) / S
+        240.0 - 120.0 + (bench.HEADLINE_FLOOR_S + cheap_caps) * S + 30.0
+    ) / S
 
 
 def test_respawn_after_wedge_serves_later_legs(bench, server):
