@@ -58,7 +58,7 @@ timed leg streams a PROVISIONAL metric line from its first timed call
 before refining it with best-of-repeats, so a wedge mid-timing keeps
 the number (the orchestrator's last-parsed-line-wins contract was
 already built for this); (c) legs run cheapest-first after the
-headline (train → serving → flow), and the budget constants are
+headline (train → serving → flow → gan), and the budget constants are
 module-level so ``tests/test_bench_orchestrator.py`` can simulate a
 400 s stall at 1/12 scale and assert ≥4 metrics survive.
 """
@@ -102,8 +102,13 @@ RESPAWN_MIN_S = 90.0  # min remaining budget to respawn a dead worker
 HEADLINE_FLOOR_S = 900.0
 # The cheap secondaries run even past the nominal budget when the worker
 # is alive and warm (see main()): headline+train+serving+flow is the
-# VERDICT-tracked "must land" set.
-MUST_LAND_LEGS = ("train", "serving", "flow")
+# VERDICT-tracked "must land" set, plus gan — the last BASELINE.json
+# config cheap enough to bound (60 s warm / 150 s cap; a 264 s-stall
+# rehearsal landed the trio and then lost gan to vrt_full eating the
+# residue and killing the worker — BASELINE configs outrank vrt_tiny,
+# and a capped overrun that streams every line only ever adds
+# information).
+MUST_LAND_LEGS = ("train", "serving", "flow", "gan")
 
 _T0 = time.monotonic()
 
@@ -878,10 +883,11 @@ def main() -> None:
     # cheapest-first after the headline (VERDICT r4: two rounds of
     # stall-starved scoreboards): train (the verdict-tracked
     # train_step_ms, ≈35 s warm with the shared params), serving (≈20 s),
-    # flow (driver config #1, ≈12 s) — those three plus the headline are
-    # the "must land under a 400 s stall" set — then vrt_full (flagship
-    # secondary), vrt_tiny, gan (most expensive warm leg)
-    for leg in ("train", "serving", "flow", "vrt_full", "vrt_tiny", "gan"):
+    # flow (driver config #1, ≈12 s), gan (driver config #4, ≈60 s —
+    # before vrt_full because every BASELINE config outranks vrt_tiny
+    # and a vrt_full timeout kills the worker for whatever follows it),
+    # then vrt_full (flagship secondary), vrt_tiny
+    for leg in ("train", "serving", "flow", "gan", "vrt_full", "vrt_tiny"):
         rem = remaining()
         if server.dead and rem > RESPAWN_MIN_S:
             # a wedged leg killed the worker; a FRESH worker can still

@@ -402,9 +402,13 @@ def test_400s_stall_four_metrics_survive(bench, tmp_path, monkeypatch,
     # the stall duration was attributed back from the overdue warmup leg
     assert final["warmup_note"] == "timeout"
     assert final["tunnel_warmup_s"] == 400.0
+    # gan (must-land since the r5 reorder) ran past the nominal budget
+    # in the live warm worker, bounded by its own cap
+    assert final["gan_step_ms"] == 7.0
     # the expensive legs were skipped on budget, not wedged
     assert "skipped" in final["vrt_full_note"]
-    assert final["bench_wall_s"] <= 480.0 / S
+    assert "skipped" in final["vrt_tiny_note"]
+    assert final["bench_wall_s"] <= 480.0 / S + bench.LEG_CAP_S["gan"] + 2.0
 
 
 def test_stall_longer_than_budget_still_lands_headline(bench, tmp_path,
@@ -442,12 +446,13 @@ def test_stall_longer_than_budget_still_lands_headline(bench, tmp_path,
     assert final["value"] == 1.0                  # headline landed
     assert final["warmup_note"] == "timeout"
     assert final["tunnel_warmup_s"] == 280.0      # attributed back
-    # the warm worker landed the whole MUST_LAND trio past the budget
+    # the warm worker landed the whole MUST_LAND set past the budget
     assert final["train_step_ms"] == 2.0
     assert final["serve_b2_720p_fps"] == 3.0
     assert final["spynet_pair_ms"] == 4.0
+    assert final["gan_step_ms"] == 7.0
     # the expensive legs skipped on budget (never wedged, never ran)
-    for leg in ("vrt_full", "vrt_tiny", "gan"):
+    for leg in ("vrt_full", "vrt_tiny"):
         assert "skipped" in final[f"{leg}_note"], final
     # the overrun is bounded: floor + the cheap legs' own caps
     cheap_caps = sum(bench.LEG_CAP_S[l] for l in bench.MUST_LAND_LEGS)
